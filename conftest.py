@@ -1,0 +1,17 @@
+"""Pytest root conftest: force the CPU backend with 8 virtual devices so
+sharding/mesh tests run without TPU hardware (SURVEY.md §4).
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,206 @@
+"""Pure-function q/p diffusion transitions.
+
+Behavioral parity targets (reference model/diffusion.py):
+  - ``p_transition``              :177-190  (Ho 2020 / WaveGrad reverse step)
+  - ``p_transition_sr3``          :164-175  (noise std sqrt(beta_t))
+  - ``p_transition_supportive``   :192-209  (Lu et al 2021 blend with condition)
+  - ``p_transition_conditional``  :211-223  (CDiffuSE reverse mean)
+  - ``q_stochastic``              :225-251  (continuous noise-level forward)
+  - ``q_stochastic_conditional``  :253-279
+  - ``get_x_T`` / ``get_x_T_conditional`` :281-320
+
+TPU-first design: every function is a pure jnp function of
+``(schedule, arrays, t, key)`` — branchless (the "add noise only for t > 1"
+python branch becomes a multiplicative mask), statically shaped, and safe to
+call inside ``jax.lax.scan``.  ``t`` may be a traced scalar (reverse sampling)
+or a ``[B]`` vector (training); coefficient lookups are single gathers into
+the constant ``[T+1]`` tables.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .schedule import DiffusionSchedule, broadcast_to_batch
+
+
+def _clip(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def _noise_gate(t: jnp.ndarray, dtype) -> jnp.ndarray:
+    """1.0 where t > 1 (noise is added), else 0.0 — replaces the reference's
+    python ``if t > 1`` branch (model/diffusion.py:186) branchlessly."""
+    return (t > 1).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# Reverse (p) transitions.  t is a scalar step index in [1, T].
+# --------------------------------------------------------------------------
+
+def p_transition(
+    sched: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    predicted: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Ho-2020/WaveGrad reverse step (reference model/diffusion.py:177-190)."""
+    mean = (x_t - sched.predicted_noise_coeff[t] * predicted) / jnp.sqrt(
+        sched.alphas[t]
+    )
+    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    x_t_1 = mean + _noise_gate(t, x_t.dtype) * sched.sigma[t] * noise
+    return _clip(x_t_1)
+
+
+def p_transition_sr3(
+    sched: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    predicted: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """SR3 variant: same mean, noise std sqrt(beta_t) (model/diffusion.py:164-175)."""
+    mean = (x_t - sched.predicted_noise_coeff[t] * predicted) / jnp.sqrt(
+        sched.alphas[t]
+    )
+    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    x_t_1 = mean + _noise_gate(t, x_t.dtype) * jnp.sqrt(sched.betas[t]) * noise
+    return _clip(x_t_1)
+
+
+def p_transition_supportive(
+    sched: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    predicted: jnp.ndarray,
+    condition: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Lu et al 2021 supportive reverse step (model/diffusion.py:192-209)."""
+    gamma = sched.supportive_gamma[t]
+    mu_t = x_t - sched.predicted_noise_coeff[t] * predicted
+    x_t_1 = ((1.0 - gamma) * mu_t + gamma * condition) / jnp.sqrt(sched.alphas[t])
+    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    sigma_hat = jnp.maximum(0.0, sched.supportive_sigma_hat[t])
+    x_t_1 = x_t_1 + _noise_gate(t, x_t.dtype) * sigma_hat * noise
+    return _clip(x_t_1)
+
+
+def p_transition_conditional(
+    sched: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    predicted: jnp.ndarray,
+    condition: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """CDiffuSE-style conditional reverse step (model/diffusion.py:211-223)."""
+    mean = (
+        sched.c_xt[t] * x_t
+        + sched.c_yt[t] * condition
+        - sched.c_epst[t] * predicted
+    )
+    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    x_t_1 = mean + _noise_gate(t, x_t.dtype) * sched.sqrt_delta_estimated[t] * noise
+    return _clip(x_t_1)
+
+
+# --------------------------------------------------------------------------
+# Forward (q) transitions — training-time noising.
+# --------------------------------------------------------------------------
+
+def q_stochastic(
+    sched: DiffusionSchedule,
+    x_0: jnp.ndarray,
+    key: jax.Array,
+    t_is_integer: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """WaveGrad-style continuous-noise-level forward process.
+
+    Per-example random step t ~ U{1..T}; unless ``t_is_integer``, the noise
+    level is drawn continuously: sqrt_ab ~ U(sqrt_ab[t-1], sqrt_ab[t]).
+    Returns ``(x_t, noise, noise_level[B,1,..], t + frac[B,1,..])``.
+    Parity: reference model/diffusion.py:225-251 (the reference takes noise as
+    an argument; here it is drawn from ``key`` and returned — it is the
+    regression target, see reference model/model.py:37-48).
+    """
+    b = x_0.shape[0]
+    k_t, k_u, k_n = jax.random.split(key, 3)
+    t = jax.random.randint(k_t, (b,), 1, sched.num_timesteps + 1)
+    noise = jax.random.normal(k_n, x_0.shape, x_0.dtype)
+    if t_is_integer:
+        level = sched.sqrt_alpha_bar[t]
+        frac = jnp.zeros((b,), x_0.dtype)
+    else:
+        l_a = sched.sqrt_alpha_bar[t - 1]
+        l_b = sched.sqrt_alpha_bar[t]
+        frac = jax.random.uniform(k_u, (b,), x_0.dtype)
+        level = l_a + frac * (l_b - l_a)
+    level_b = broadcast_to_batch(level, x_0.ndim)
+    x_t = level_b * x_0 + jnp.sqrt(1.0 - jnp.square(level_b)) * noise
+    t_cont = broadcast_to_batch(t.astype(x_0.dtype) + frac, x_0.ndim)
+    return x_t, noise, level_b, t_cont
+
+
+def q_stochastic_conditional(
+    sched: DiffusionSchedule,
+    x_0: jnp.ndarray,
+    y: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Conditional forward process (model/diffusion.py:253-279).
+
+    x_t = sqrt_ab[t]*x_0 + m[t]*sqrt_ab[t]*(y - x_0) + sqrt_delta[t]*eps.
+    Returns ``(x_t, combined_noise, noise_level[B,1,..])`` where
+    combined_noise = (noise_from_condition + gaussian) / sqrt(1 - ab[t]) is
+    the regression target.
+    """
+    b = x_0.shape[0]
+    k_t, k_n = jax.random.split(key)
+    t = jax.random.randint(k_t, (b,), 1, sched.num_timesteps + 1)
+    noise = jax.random.normal(k_n, x_0.shape, x_0.dtype)
+
+    level = broadcast_to_batch(sched.sqrt_alpha_bar[t], x_0.ndim)
+    sqrt_delta = broadcast_to_batch(sched.sqrt_delta[t], x_0.ndim)
+    m_t = broadcast_to_batch(sched.m[t], x_0.ndim)
+    alpha_bar = broadcast_to_batch(sched.alpha_bar[t], x_0.ndim)
+
+    gaussian_noise = sqrt_delta * noise
+    noise_from_condition = m_t * level * (y - x_0)
+    x_t = level * x_0 + noise_from_condition + gaussian_noise
+    combined_noise = (noise_from_condition + gaussian_noise) / jnp.sqrt(
+        1.0 - alpha_bar
+    )
+    return x_t, combined_noise, level
+
+
+# --------------------------------------------------------------------------
+# Sampler initialization (x_T).
+# --------------------------------------------------------------------------
+
+def get_x_T(
+    sched: DiffusionSchedule, condition: jnp.ndarray, key: jax.Array
+) -> jnp.ndarray:
+    """x_T = sqrt_ab[T]*y + sqrt(1 - ab[T])*eps (model/diffusion.py:281-300)."""
+    noise = jax.random.normal(key, condition.shape, condition.dtype)
+    level = sched.sqrt_alpha_bar[sched.num_timesteps]
+    return level * condition + jnp.sqrt(1.0 - jnp.square(level)) * noise
+
+
+def get_x_T_conditional(
+    sched: DiffusionSchedule, condition: jnp.ndarray, key: jax.Array
+) -> jnp.ndarray:
+    """x_T = sqrt_ab[T]*y + sqrt_delta[T]*eps (model/diffusion.py:302-320)."""
+    noise = jax.random.normal(key, condition.shape, condition.dtype)
+    T = sched.num_timesteps
+    return sched.sqrt_alpha_bar[T] * condition + sched.sqrt_delta[T] * noise
+
+
+def get_noise_level(sched: DiffusionSchedule, t: jnp.ndarray) -> jnp.ndarray:
+    """Noise level = sqrt_alpha_bar[t] (model/diffusion.py:322-326)."""
+    return sched.sqrt_alpha_bar[t]

@@ -1,0 +1,48 @@
+"""Denoiser network registry.
+
+Parity: reference model/network.py:1-12 exposes the denoiser classes by name
+for config reflection.  Here an explicit registry dict replaces
+getattr-on-module (typo-safe; SURVEY.md §7 architecture mapping).
+"""
+
+from .losses import LOSSES, get_loss, l1_loss, l2_loss, log_loss
+from .metrics import METRICS, get_metric, segment_sisnr, sisnr
+from .sddm import SDDM, SDDM_spectrogram, SDDM_with_SNREstimator
+from .unet_modified2 import UNetModified2
+
+NETWORKS = {
+    "UNetModified2": UNetModified2,
+}
+
+
+def register_network(name, cls):
+    NETWORKS[name] = cls
+    return cls
+
+
+def get_network(name):
+    if name not in NETWORKS:
+        raise KeyError(
+            f"unknown network '{name}'; available: {sorted(NETWORKS)}"
+        )
+    return NETWORKS[name]
+
+
+__all__ = [
+    "SDDM",
+    "SDDM_spectrogram",
+    "SDDM_with_SNREstimator",
+    "UNetModified2",
+    "NETWORKS",
+    "get_network",
+    "register_network",
+    "LOSSES",
+    "METRICS",
+    "get_loss",
+    "get_metric",
+    "l1_loss",
+    "l2_loss",
+    "log_loss",
+    "sisnr",
+    "segment_sisnr",
+]

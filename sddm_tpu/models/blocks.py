@@ -1,0 +1,209 @@
+"""Shared denoiser building blocks (Flax linen).
+
+Parity targets are the block modules shared across the reference denoiser zoo
+(model/UNetModified2.py:44-143, model/UNetModified.py:140-189); each class
+cites its source.
+
+TPU-first conventions:
+  - NHWC layout everywhere (``[B, n_frames, frame_len, C]``) — the TPU-native
+    conv layout; the reference uses NCHW.
+  - Compute dtype is configurable (bf16 for MXU throughput), params stay f32.
+  - GroupNorm/normalizations run in f32 for stability.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(x) (reference model/UNetModified2.py:44-46)."""
+    return jax.nn.silu(x)
+
+
+class PositionalEncoding(nn.Module):
+    """Sinusoidal encoding of a (continuous) noise level / diffusion step.
+
+    Parity: reference model/UNetModified2.py:49-68 — the frequency vector is
+    ``1e4 * 10**(-step * 4 / half_dim)`` and the output is
+    ``concat[sin, cos]`` of ``level * vector``; input of any shape is
+    flattened to ``[B, 1]``.
+    """
+
+    dim: int = 128
+
+    @nn.compact
+    def __call__(self, diffusion_step: jnp.ndarray) -> jnp.ndarray:
+        half_dim = self.dim // 2
+        step = np.arange(half_dim, dtype=np.float32)
+        vector = jnp.asarray(
+            1e4 * 10.0 ** (-step * 4.0 / half_dim), diffusion_step.dtype
+        )
+        x = diffusion_step.reshape(-1, 1) * vector[None, :]
+        return jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=-1)  # [B, dim]
+
+
+class FeatureWiseAffine(nn.Module):
+    """Inject a noise embedding into a feature map per channel.
+
+    Parity: reference model/UNetModified2.py:72-89.  ``use_affine_level=False``
+    adds a per-channel bias; True applies ``(1 + gamma) * x + beta``.
+    NHWC: the projected embedding broadcasts as ``[B, 1, 1, C]``.
+    """
+
+    out_channels: int
+    use_affine_level: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, noise_embed: jnp.ndarray) -> jnp.ndarray:
+        batch = x.shape[0]
+        n_out = self.out_channels * (2 if self.use_affine_level else 1)
+        h = nn.Dense(n_out, dtype=x.dtype)(noise_embed)
+        h = h.reshape((batch,) + (1,) * (x.ndim - 2) + (-1,))
+        if self.use_affine_level:
+            gamma, beta = jnp.split(h, 2, axis=-1)
+            return (1.0 + gamma) * x + beta
+        return x + h
+
+
+class Block(nn.Module):
+    """GroupNorm -> Swish -> Dropout -> 3x3 Conv
+    (reference model/UNetModified2.py:113-124)."""
+
+    dim_out: int
+    groups: int = 32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.GroupNorm(num_groups=self.groups, dtype=jnp.float32)(x)
+        h = swish(h).astype(x.dtype)
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        return nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=x.dtype)(h)
+
+
+class ResnetBlock(nn.Module):
+    """Block -> FeatureWiseAffine(noise) -> Block -> +residual
+    (reference model/UNetModified2.py:127-142)."""
+
+    dim_out: int
+    dropout: float = 0.0
+    norm_groups: int = 32
+    use_affine_level: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        time_emb: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h = Block(self.dim_out, groups=self.norm_groups)(x, deterministic)
+        h = FeatureWiseAffine(self.dim_out, self.use_affine_level)(h, time_emb)
+        h = Block(self.dim_out, groups=self.norm_groups, dropout=self.dropout)(
+            h, deterministic
+        )
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=x.dtype)(x)
+        return h + x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv, channels preserved (model/UNetModified2.py:103-109)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding="SAME", dtype=x.dtype)(x)
+
+
+class Upsample(nn.Module):
+    """2x nearest upsample then 3x3 conv (model/UNetModified2.py:93-100)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        up = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.dim, (3, 3), padding="SAME", dtype=x.dtype)(up)
+
+
+class SelfAttention2D(nn.Module):
+    """Multi-head self-attention over the (H, W) grid with per-head channel
+    dim C/heads.
+
+    Parity: reference model/UNetModified.py:140-169 — qkv from a 1x1 conv on
+    GroupNorm-ed input, attention einsum over flattened spatial positions,
+    scaled by 1/sqrt(C), residual add.  NHWC here; the einsum contracts the
+    head channel dim, exactly the reference's
+    ``bnchw,bncyx->bnhwyx`` in NHWC form.
+    """
+
+    n_head: int = 1
+    norm_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        head_dim = c // self.n_head
+        norm = nn.GroupNorm(num_groups=self.norm_groups, dtype=jnp.float32)(x)
+        norm = norm.astype(x.dtype)
+        qkv = nn.Conv(c * 3, (1, 1), use_bias=False, dtype=x.dtype)(norm)
+        qkv = qkv.reshape(b, h * w, self.n_head, head_dim, 3)
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]  # [B, HW, n, d]
+        attn = jnp.einsum("bsnd,btnd->bnst", q, k) / jnp.sqrt(
+            jnp.asarray(c, x.dtype)
+        )
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bnst,btnd->bsnd", attn, v).reshape(b, h, w, c)
+        proj = nn.Conv(c, (1, 1), dtype=x.dtype)(out)
+        return x + proj
+
+
+class ResnetBlocWithAttn(nn.Module):
+    """ResnetBlock optionally followed by self-attention
+    (reference model/UNetModified.py:172-189)."""
+
+    dim_out: int
+    norm_groups: int = 32
+    dropout: float = 0.0
+    with_attn: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        time_emb: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h = ResnetBlock(
+            self.dim_out, dropout=self.dropout, norm_groups=self.norm_groups
+        )(x, time_emb, deterministic)
+        if self.with_attn:
+            h = SelfAttention2D(norm_groups=self.norm_groups)(h)
+        return h
+
+
+class NoiseLevelMLP(nn.Module):
+    """PositionalEncoding -> Dense(4x) -> Swish -> Dense(1x) -> Swish
+    (reference model/UNetModified2.py:168-174)."""
+
+    channel: int
+
+    @nn.compact
+    def __call__(self, diffusion_step: jnp.ndarray) -> jnp.ndarray:
+        t = PositionalEncoding(self.channel)(diffusion_step)
+        t = nn.Dense(self.channel * 4, dtype=t.dtype)(t)
+        t = swish(t)
+        t = nn.Dense(self.channel, dtype=t.dtype)(t)
+        return swish(t)

@@ -1,0 +1,303 @@
+"""SDDM composite models: diffusion math + denoiser network.
+
+Parity targets (reference model/model.py):
+  - ``SDDM``                    :7-124   (train forward + T-step reverse infer)
+  - ``SDDM_with_SNREstimator``  :128-203 (segment + frozen SNR estimator +
+                                          per-segment variable schedule)
+  - ``SDDM_spectrogram``        :206-257 (vocoder-style: condition is a
+                                          spectrogram, x_T is pure noise)
+
+TPU-first design: the reference's reverse loop is T sequential python
+iterations, each a fresh kernel launch (model/model.py:106-124 — the hot loop
+called out in SURVEY.md §3.2).  Here the full T-step sampler is ONE
+``jax.lax.scan`` inside jit: the denoiser is traced once, every per-step
+coefficient is a gather into constant tables, and the "add noise only when
+t > 1" branch is a branchless mask.  Mode polymorphism (5 p-transitions x 2
+noise conditionings x 2 q-transitions) is resolved statically at trace time
+from config strings, so there is no retracing and no lax.switch overhead.
+
+Composites are plain Python orchestrators over pure functions — parameters
+are explicit pytrees (the functional JAX idiom), not module state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..diffusion import transitions as tr
+from ..diffusion import variable as var
+from ..diffusion.schedule import DiffusionSchedule, broadcast_to_batch
+from ..ops.framing import Segmentor
+
+NOISE_CONDITIONS = ("sqrt_alpha_bar", "time_step")
+P_TRANSITIONS = ("original", "supportive", "sr3", "conditional", "condition_in")
+Q_TRANSITIONS = ("original", "conditional")
+
+
+class SDDM:
+    """Conditional diffusion speech-enhancement model (reference model/model.py:7-124)."""
+
+    def __init__(
+        self,
+        diffusion: DiffusionSchedule,
+        network: nn.Module,
+        noise_condition: str = "sqrt_alpha_bar",
+        p_transition: str = "original",
+        q_transition: str = "original",
+    ):
+        if noise_condition not in NOISE_CONDITIONS:
+            raise NotImplementedError(noise_condition)
+        if p_transition not in P_TRANSITIONS:
+            raise NotImplementedError(p_transition)
+        if q_transition not in Q_TRANSITIONS:
+            raise NotImplementedError(q_transition)
+        self.diffusion = diffusion
+        self.network = network
+        self.num_timesteps = diffusion.num_timesteps
+        self.noise_condition = noise_condition
+        self.p_transition = p_transition
+        self.q_transition = q_transition
+
+    # -- parameter init ----------------------------------------------------
+    def init(self, key: jax.Array, sample_shape: Tuple[int, ...]):
+        dummy = jnp.zeros(sample_shape, jnp.float32)
+        level = jnp.ones(sample_shape[:1] + (1,) * (len(sample_shape) - 1))
+        return self.network.init(key, dummy, dummy, level)
+
+    # -- training forward (reference model/model.py:29-48) -----------------
+    def forward(
+        self,
+        params,
+        key: jax.Array,
+        target: jnp.ndarray,
+        condition: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sample the q process, predict the noise; returns ``(eps_hat, eps)``."""
+        k_q, k_drop = jax.random.split(key)
+        if self.q_transition == "original":
+            x_t, noise, noise_level, t_cont = tr.q_stochastic(
+                self.diffusion, target, k_q
+            )
+            cond_in = noise_level if self.noise_condition == "sqrt_alpha_bar" else t_cont
+        else:  # conditional
+            x_t, noise, noise_level = tr.q_stochastic_conditional(
+                self.diffusion, target, condition, k_q
+            )
+            cond_in = noise_level
+        predicted = self._apply(
+            params, condition, x_t, cond_in, deterministic, k_drop
+        )
+        return predicted, noise
+
+    def _apply(self, params, condition, x_t, noise_level, deterministic, key=None):
+        rngs = {"dropout": key} if (key is not None and not deterministic) else None
+        return self.network.apply(
+            params, condition, x_t, noise_level,
+            deterministic=deterministic, rngs=rngs,
+        )
+
+    # -- sampler init (reference model/model.py:57-68) ---------------------
+    def _x_T(self, key: jax.Array, condition: jnp.ndarray) -> jnp.ndarray:
+        if self.p_transition == "conditional":
+            return tr.get_x_T_conditional(self.diffusion, condition, key)
+        if self.p_transition == "condition_in":
+            return tr.get_x_T(self.diffusion, condition, key)
+        if self.p_transition == "supportive":
+            return condition
+        return jax.random.normal(key, condition.shape, condition.dtype)
+
+    # -- one reverse step, mode-resolved statically ------------------------
+    def _reverse_step(self, params, condition, x_t, t, key):
+        sched = self.diffusion
+        if self.noise_condition == "sqrt_alpha_bar":
+            nl = sched.sqrt_alpha_bar[t] * jnp.ones(
+                condition.shape[:1] + (1,) * (condition.ndim - 1), condition.dtype
+            )
+        else:  # time_step
+            nl = t.astype(condition.dtype) * jnp.ones(
+                condition.shape[:1] + (1,) * (condition.ndim - 1), condition.dtype
+            )
+        predicted = self._apply(params, condition, x_t, nl, True)
+        if self.p_transition in ("original", "condition_in"):
+            return tr.p_transition(sched, x_t, t, predicted, key)
+        if self.p_transition == "sr3":
+            return tr.p_transition_sr3(sched, x_t, t, predicted, key)
+        if self.p_transition == "supportive":
+            return tr.p_transition_supportive(
+                sched, x_t, t, predicted, condition, key
+            )
+        # conditional
+        return tr.p_transition_conditional(sched, x_t, t, predicted, condition, key)
+
+    # -- full reverse sampler (reference model/model.py:51-124) ------------
+    def infer(
+        self,
+        params,
+        key: jax.Array,
+        condition: jnp.ndarray,
+        return_trajectory: bool = False,
+    ) -> jnp.ndarray:
+        """Run the full T-step reverse process as a single ``lax.scan``.
+
+        ``return_trajectory=True`` additionally returns every intermediate
+        state ``[T, B, ...]`` (the CLI subsamples every ``1 | (T // 100)``
+        steps for parity with continuous sampling, model/model.py:79-103).
+        """
+        k_init, k_scan = jax.random.split(key)
+        x_T = self._x_T(k_init, condition)
+        ts = jnp.arange(self.num_timesteps, 0, -1)
+
+        def step(carry, t):
+            x_t, k = carry
+            k, sub = jax.random.split(k)
+            x_next = self._reverse_step(params, condition, x_t, t, sub)
+            return (x_next, k), (x_next if return_trajectory else None)
+
+        (x_0, _), traj = jax.lax.scan(step, (x_T, k_scan), ts)
+        if return_trajectory:
+            return x_0, traj
+        return x_0
+
+    def sample_interval(self) -> int:
+        """Intermediate-sample stride: ``1 | (T // 100)`` (model/model.py:72)."""
+        return 1 | (self.num_timesteps // 100)
+
+
+class SDDM_spectrogram(SDDM):
+    """Vocoder-style SDDM: condition is a spectrogram ``[B, freq, frames]``;
+    sampling starts from pure noise of length ``hop_samples * n_frames``
+    (reference model/model.py:206-257)."""
+
+    def __init__(
+        self,
+        diffusion: DiffusionSchedule,
+        network: nn.Module,
+        hop_samples: int,
+        noise_condition: str = "sqrt_alpha_bar",
+    ):
+        super().__init__(diffusion, network, noise_condition)
+        self.hop_samples = hop_samples
+
+    def init(self, key: jax.Array, spec_shape: Tuple[int, ...]):
+        b = spec_shape[0]
+        n_audio = self.hop_samples * spec_shape[-1]
+        spec = jnp.zeros(spec_shape, jnp.float32)
+        audio = jnp.zeros((b, 1, n_audio), jnp.float32)
+        level = jnp.ones((b,) + (1,) * 2)
+        return self.network.init(key, spec, audio, level)
+
+    def forward(self, params, key, target, condition, deterministic=True):
+        # inherited q process on the waveform target (model/model.py:209 uses
+        # SDDM.forward unchanged)
+        return super().forward(params, key, target, condition, deterministic)
+
+    def _x_T(self, key: jax.Array, condition: jnp.ndarray) -> jnp.ndarray:
+        b = condition.shape[0]
+        n = self.hop_samples * condition.shape[-1]
+        return jax.random.normal(key, (b, 1, n))
+
+    def _reverse_step(self, params, condition, x_t, t, key):
+        sched = self.diffusion
+        shape = condition.shape[:1] + (1,) * (condition.ndim - 1)
+        if self.noise_condition == "sqrt_alpha_bar":
+            nl = sched.sqrt_alpha_bar[t] * jnp.ones(shape, x_t.dtype)
+        else:
+            nl = t.astype(x_t.dtype) * jnp.ones(shape, x_t.dtype)
+        predicted = self._apply(params, condition, x_t, nl, True)
+        # spectrogram model always uses the original transition
+        # (model/model.py:239,255)
+        return tr.p_transition(sched, x_t, t, predicted, key)
+
+
+class SDDM_with_SNREstimator:
+    """Segment the signal, estimate per-segment SNR with a FROZEN estimator,
+    and drive a per-segment variable schedule (reference model/model.py:128-203).
+
+    Params are a dict ``{"network": ..., "snr_estimator": ...}``; only
+    ``network`` is trained (the reference freezes the estimator,
+    train_with_snr_estimator.py:48-52).
+    """
+
+    def __init__(
+        self,
+        diffusion_timesteps: int,
+        network: nn.Module,
+        snr_estimator: nn.Module,
+        segmentor: Segmentor,
+        snr_estimate_scale: float = 100.0,
+        noise_condition: str = "sqrt_alpha_bar",
+        p_transition: str = "original",
+        q_transition: str = "original",
+    ):
+        if noise_condition != "sqrt_alpha_bar":
+            raise NotImplementedError(noise_condition)
+        if p_transition not in ("original", "condition_in"):
+            raise NotImplementedError(p_transition)
+        if q_transition != "original":
+            raise NotImplementedError(q_transition)
+        self.num_timesteps = diffusion_timesteps
+        self.network = network
+        self.snr_estimator = snr_estimator
+        self.segmentor = segmentor
+        self.snr_estimate_scale = snr_estimate_scale
+
+    def init(self, key: jax.Array, sample_shape: Tuple[int, ...]):
+        k1, k2 = jax.random.split(key)
+        b = sample_shape[0]
+        seg_shape = (b, 1, self.segmentor.n_frames, self.segmentor.frame_len)
+        seg = jnp.zeros(seg_shape, jnp.float32)
+        level = jnp.ones((b, 1, self.segmentor.n_frames, 1), jnp.float32)
+        return {
+            "network": self.network.init(k1, seg, seg, level),
+            "snr_estimator": self.snr_estimator.init(k2, seg),
+        }
+
+    def _tables(self, params, condition_seg):
+        snr = self.snr_estimator.apply(params["snr_estimator"], condition_seg)
+        # stop-gradient: the estimator is frozen (train_with_snr_estimator.py:48-52)
+        snr = jax.lax.stop_gradient(snr)
+        return var.variable_tables(
+            snr, self.num_timesteps, self.snr_estimate_scale
+        )
+
+    def forward(self, params, key, target, condition, deterministic=True):
+        """Returns ``(eps_hat, eps)`` on segmented [B,1,N,L] tensors
+        (model/model.py:153-175)."""
+        target_seg = self.segmentor(target)
+        condition_seg = self.segmentor(condition)
+        vsched = self._tables(params, condition_seg)
+        k_q, k_drop = jax.random.split(key)
+        x_t, noise, noise_level, _t = var.q_stochastic(vsched, target_seg, k_q)
+        rngs = {"dropout": k_drop} if not deterministic else None
+        predicted = self.network.apply(
+            params["network"], condition_seg, x_t, noise_level,
+            deterministic=deterministic, rngs=rngs,
+        )
+        return predicted, noise
+
+    def infer(self, params, key, condition):
+        """Full reverse sampler + cross-fade overlap-add
+        (model/model.py:177-203), as one ``lax.scan``."""
+        condition_seg = self.segmentor(condition)
+        vsched = self._tables(params, condition_seg)
+        k_init, k_scan = jax.random.split(key)
+        x_T = var.get_x_T(vsched, condition_seg, k_init)
+        ts = jnp.arange(self.num_timesteps, 0, -1)
+
+        def step(carry, t):
+            x_t, k = carry
+            k, sub = jax.random.split(k)
+            nl = var.get_noise_level(vsched, t)
+            predicted = self.network.apply(
+                params["network"], condition_seg, x_t, nl, deterministic=True
+            )
+            x_next = var.p_transition(vsched, x_t, t, predicted, sub)
+            return (x_next, k), None
+
+        (x_0, _), _ = jax.lax.scan(step, (x_T, k_scan), ts)
+        return self.segmentor.overlap_add(x_0)
