@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: full reverse-diffusion sampler real-time factor (RTF)
+per chip on the flagship recipe (UNetModified2, T=100, 16448-sample chunks —
+config_unet.json / BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+RTF = seconds of audio enhanced per wall-clock second for the FULL T-step
+sampler.  The reference publishes no RTF; the driver's north star is >=10x
+the reference's real-time factor per chip.  We report vs_baseline against
+real-time (RTF 1.0) so the number is self-grounding: value is how many times
+faster than real time one chip enhances audio.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sddm_tpu.diffusion import DiffusionSchedule
+from sddm_tpu.models import SDDM, UNetModified2
+
+SAMPLE_RATE = 16000
+NUM_SAMPLES = 16448
+T_STEPS = 100
+BATCH = 8  # chunk rows processed in parallel (vectorized utterance chunks)
+
+
+def main():
+    sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
+    net = UNetModified2(
+        num_samples=NUM_SAMPLES,
+        inner_channel=32,
+        norm_groups=32,
+        channel_mults=(1, 2, 3, 4, 5),
+        res_blocks=1,
+        segment_len=128,
+        segment_stride=64,
+        dtype=jnp.bfloat16,
+    )
+    model = SDDM(sched, net, p_transition="condition_in")
+
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, (BATCH, 1, NUM_SAMPLES))
+    condition = (
+        0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 1, NUM_SAMPLES))
+    )
+
+    infer = jax.jit(model.infer)
+    # compile + warmup
+    infer(params, key, condition).block_until_ready()
+
+    n_iters = 5
+    start = time.perf_counter()
+    for i in range(n_iters):
+        out = infer(params, jax.random.fold_in(key, i), condition)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = n_iters * BATCH * NUM_SAMPLES / SAMPLE_RATE
+    rtf = audio_seconds / elapsed
+    steps_per_sec = n_iters * T_STEPS / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "reverse_sampler_rtf_per_chip",
+                "value": round(rtf, 3),
+                "unit": f"x_realtime (T={T_STEPS}, batch={BATCH}; "
+                f"{steps_per_sec:.1f} reverse steps/s)",
+                "vs_baseline": round(rtf, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

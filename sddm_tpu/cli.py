@@ -1,0 +1,74 @@
+"""Shared CLI wiring: build model objects from a ConfigParser.
+
+Mirrors the reflection wiring of the reference entry points (train.py:17-65,
+infer.py:20-51) against this framework's explicit registries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+
+from .data import DATA_LOADERS, DATASETS
+from .diffusion.schedule import DiffusionSchedule
+from .models import SDDM, SDDM_spectrogram, get_network
+from .models.losses import get_loss
+from .models.metrics import get_metric
+from .utils.config import ConfigParser
+
+CustomArgs = collections.namedtuple("CustomArgs", "flags type target")
+
+DEFAULT_OPTIONS = [
+    CustomArgs(["--lr", "--learning_rate"], float, "optimizer;args;lr"),
+    CustomArgs(["--bs", "--batch_size"], int, "data_loader;args;batch_size"),
+]
+
+
+def standard_argparser(description: str) -> argparse.ArgumentParser:
+    args = argparse.ArgumentParser(description=description)
+    args.add_argument("-c", "--config", default=None, type=str,
+                      help="config file path (default: None)")
+    args.add_argument("-r", "--resume", default=None, type=str,
+                      help="path to latest checkpoint (default: None)")
+    args.add_argument("-d", "--device", default=None, type=str,
+                      help="device override (kept for reference CLI parity)")
+    return args
+
+
+def build_diffusion(config) -> DiffusionSchedule:
+    """Schedule tables from the config's ``diffusion`` block."""
+    dargs = dict(config["diffusion"]["args"])
+    if config["diffusion"]["type"] != "GaussianDiffusion":
+        raise NotImplementedError(config["diffusion"]["type"])
+    return DiffusionSchedule.create(**dargs)
+
+
+def build_network(config, **kwargs):
+    net_cfg = config["network"]
+    cls = get_network(net_cfg["type"])
+    return cls(**dict(net_cfg["args"]), **kwargs)
+
+
+def build_arch(config, diffusion, network):
+    arch = config["arch"]
+    if arch["type"] == "SDDM":
+        return SDDM(diffusion, network, **dict(arch.get("args", {})))
+    if arch["type"] == "SDDM_spectrogram":
+        return SDDM_spectrogram(diffusion, network, **dict(arch.get("args", {})))
+    raise NotImplementedError(arch["type"])
+
+
+def build_dataset(config, name: str, **kwargs):
+    return config.init_obj(name, DATASETS, **kwargs)
+
+
+def build_data_loader(config, name: str, dataset, **kwargs):
+    return config.init_obj(name, DATA_LOADERS, dataset, **kwargs)
+
+
+def build_loss(config):
+    return get_loss(config["loss"])
+
+
+def build_metrics(config):
+    return [get_metric(m) for m in config["metrics"]]
