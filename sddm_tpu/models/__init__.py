@@ -9,9 +9,28 @@ from .losses import LOSSES, get_loss, l1_loss, l2_loss, log_loss
 from .metrics import METRICS, get_metric, segment_sisnr, sisnr
 from .sddm import SDDM, SDDM_spectrogram, SDDM_with_SNREstimator
 from .unet_modified2 import UNetModified2
+from .unet_modified import UNetModified
+from .unet_variable import UNetModified2_VariableNoiseLevel
+from .snr_estimator import SNREstimator
+from .tstnn import TSTNN
+from .diffwave import DiffWave
+from .wavegrad import (
+    DenoiseWaveGrad1,
+    DenoiseWaveGrad2,
+    DenoiseWaveGrad3,
+    WaveGrad,
+)
 
 NETWORKS = {
     "UNetModified2": UNetModified2,
+    "UNetModified": UNetModified,
+    "UNetModified2_VariableNoiseLevel": UNetModified2_VariableNoiseLevel,
+    "TSTNN": TSTNN,
+    "DiffWave": DiffWave,
+    "WaveGrad": WaveGrad,
+    "DenoiseWaveGrad1": DenoiseWaveGrad1,
+    "DenoiseWaveGrad2": DenoiseWaveGrad2,
+    "DenoiseWaveGrad3": DenoiseWaveGrad3,
 }
 
 
