@@ -20,6 +20,11 @@ from .wavegrad import (
     DenoiseWaveGrad3,
     WaveGrad,
 )
+from .unet_sp import UNetSP
+from .unet_tst import UNetTST
+from .caunet import CAUNet
+from .waveunet import Waveunet, Waveunet2
+from .waveunet3 import Waveunet3
 
 NETWORKS = {
     "UNetModified2": UNetModified2,
@@ -31,6 +36,12 @@ NETWORKS = {
     "DenoiseWaveGrad1": DenoiseWaveGrad1,
     "DenoiseWaveGrad2": DenoiseWaveGrad2,
     "DenoiseWaveGrad3": DenoiseWaveGrad3,
+    "UNetSP": UNetSP,
+    "UNetTST": UNetTST,
+    "CAUNet": CAUNet,
+    "Waveunet": Waveunet,
+    "Waveunet2": Waveunet2,
+    "Waveunet3": Waveunet3,
 }
 
 
