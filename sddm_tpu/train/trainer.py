@@ -158,7 +158,7 @@ class Trainer(BaseTrainer):
             time.time() - self.epoch_start,
         )
         self.valid_metrics.reset()
-        sample_rate = self.config["sample_rate"]
+        sample_rate = self.config.get("sample_rate", 16000)
         for batch_idx, (target, condition, _idx) in enumerate(
             self.valid_data_loader
         ):
