@@ -35,7 +35,7 @@ from sddm_tpu.utils import ConfigParser
 EXPAND_ORDER = 3
 
 
-def main(config):
+def main(config, continuous=False):
     logger = config.get_logger("infer")
     datatype = config["infer_dataset"]["args"]["datatype"]
     sample_rate = config["sample_rate"]
@@ -93,10 +93,35 @@ def main(config):
                 )
             save_wav(paths[kind] / f"{name}.wav", wav, sample_rate)
 
+    if continuous:
+        # intermediate samples every 1 | (T // 100) steps
+        # (reference model/model.py:79-103 continuous mode)
+        interm_path = sample_path / "intermediate"
+        interm_path.mkdir(parents=True, exist_ok=True)
+        traj_jit = jax.jit(
+            lambda p, k, c: model.infer(p, k, c, return_trajectory=True)
+        )
+
     total_loss, n_batches = 0.0, 0
     for target, condition, index in infer_data_loader:
         key, sub = jax.random.split(key)
-        output = infer_jit(params, sub, jnp.asarray(condition))
+        if continuous:
+            output, traj = traj_jit(params, sub, jnp.asarray(condition))
+            stride = model.sample_interval()
+            traj_np = np.asarray(traj)  # [T, B, 1, chunk]
+            T = traj_np.shape[0]
+            for file_idx in np.unique(index):
+                rows = np.nonzero(index == file_idx)[0]
+                name = infer_dataset.get_name(int(file_idx))
+                for t_rev in range(0, T, stride):
+                    step = T - t_rev  # diffusion step count remaining
+                    save_wav(
+                        interm_path / f"{name}_t{step:04d}.wav",
+                        traj_np[t_rev][rows].reshape(1, -1),
+                        sample_rate,
+                    )
+        else:
+            output = infer_jit(params, sub, jnp.asarray(condition))
         output_np = np.asarray(output)
 
         # regroup chunk rows by file index and flush every file
@@ -128,5 +153,10 @@ def build_network_with_samples(config):
 
 if __name__ == "__main__":
     args = standard_argparser("Speech denoising diffusion model inference")
+    args.add_argument(
+        "--continuous", action="store_true",
+        help="also save intermediate samples every 1|(T//100) steps",
+    )
     config = ConfigParser.from_args(args)
-    main(config)
+    parsed = args.parse_args()
+    main(config, continuous=parsed.continuous)

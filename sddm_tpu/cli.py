@@ -9,6 +9,8 @@ from __future__ import annotations
 import argparse
 import collections
 
+import jax.numpy as jnp
+
 from .data import DATA_LOADERS, DATASETS
 from .diffusion.schedule import DiffusionSchedule
 from .models import SDDM, SDDM_spectrogram, get_network
@@ -43,10 +45,19 @@ def build_diffusion(config) -> DiffusionSchedule:
     return DiffusionSchedule.create(**dargs)
 
 
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
 def build_network(config, **kwargs):
+    """Construct the denoiser; a top-level ``"dtype": "bfloat16"`` config key
+    selects the network compute dtype (params/norms stay f32)."""
     net_cfg = config["network"]
     cls = get_network(net_cfg["type"])
-    return cls(**dict(net_cfg["args"]), **kwargs)
+    args = dict(net_cfg["args"])
+    dtype_name = config.get("dtype") if hasattr(config, "get") else None
+    if dtype_name and "dtype" not in args:
+        args["dtype"] = _DTYPES[dtype_name]
+    return cls(**args, **kwargs)
 
 
 def build_arch(config, diffusion, network):

@@ -125,7 +125,21 @@ class Trainer(BaseTrainer):
         self.epoch_start = time.time()
         self.train_metrics.reset()
 
+        # optional profiling: trace the first epoch's steps [2, 12) into
+        # trainer.profile_dir (replaces the reference's lone steps_per_sec
+        # scalar as the tracing story, SURVEY.md §5)
+        profile_dir = self.config["trainer"].get("profile_dir")
+        profile_armed = bool(profile_dir) and epoch == self.start_epoch
+        trace_on = False
+
         for batch_idx, (target, condition, _idx) in enumerate(self.data_loader):
+            if profile_armed and batch_idx == 2:
+                jax.profiler.start_trace(profile_dir)
+                trace_on = True
+            if trace_on and batch_idx == 12:
+                jax.profiler.stop_trace()
+                trace_on = False
+                profile_armed = False
             batch = shard_batch(
                 (jnp.asarray(target), jnp.asarray(condition)), self.mesh
             )
@@ -144,6 +158,8 @@ class Trainer(BaseTrainer):
                 )
             if batch_idx == self.len_epoch:
                 break
+        if trace_on:
+            jax.profiler.stop_trace()
         log = self.train_metrics.result()
 
         if self.do_validation and (epoch % self.valid_period == 0):
