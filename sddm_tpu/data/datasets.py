@@ -16,7 +16,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .wav_io import load_wav
+from .wav_io import load_wav, load_wav_crop, wav_num_frames
 
 _DATATYPES = (".wav", ".logwav.npy", ".spec.npy", ".mel.npy")
 
@@ -72,6 +72,32 @@ class AudioDataset:
         return clean.astype(np.float32), noisy.astype(np.float32)
 
     def __getitem__(self, index):
+        if self.datatype == ".wav" and self.T > 0:
+            # crop pushdown: read the header, pick the crop window, decode
+            # only those bytes (native decoder seeks; scipy fallback slices)
+            name = self.inventory[index]
+            n = wav_num_frames(self.clean_path / name)
+            if n > self.T:
+                start = int(self.rng.integers(0, n - self.T))
+                clean, sr1 = load_wav_crop(
+                    self.clean_path / name, start, self.T
+                )
+                noisy, sr2 = load_wav_crop(
+                    self.noisy_path / name, start, self.T
+                )
+                for sr in (sr1, sr2):
+                    if sr != self.sample_rate:
+                        raise ValueError(
+                            f"{name}: rate {sr} != {self.sample_rate}"
+                        )
+                if noisy.shape[-1] != clean.shape[-1]:
+                    raise ValueError("clean/noisy length mismatch")
+                return (
+                    clean.astype(np.float32),
+                    noisy.astype(np.float32),
+                    index,
+                )
+
         clean, noisy = self._load_pair(index)
         if self.datatype in (".wav", ".logwav.npy"):
             n = clean.shape[-1]

@@ -14,9 +14,16 @@ from typing import Tuple
 import numpy as np
 from scipy.io import wavfile
 
+from .. import native
+
 
 def load_wav(path) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (audio [channels, samples] float32 in [-1,1], rate)."""
+    """Read a WAV file -> (audio [channels, samples] float32 in [-1,1], rate).
+
+    Uses the GIL-free C decoder (sddm_tpu/native/wavio.c) when available;
+    scipy fallback otherwise."""
+    if native.available():
+        return native.load_wav_native(path)
     sr, data = wavfile.read(str(path))
     if data.dtype == np.int16:
         audio = data.astype(np.float32) / 32768.0
@@ -31,6 +38,23 @@ def load_wav(path) -> Tuple[np.ndarray, int]:
     else:
         audio = audio.T  # scipy gives [samples, channels]
     return audio, int(sr)
+
+
+def load_wav_crop(path, start: int, length: int) -> Tuple[np.ndarray, int]:
+    """Read only frames [start, start+length) — the native decoder seeks
+    straight to the needed bytes, so random training crops never decode the
+    whole utterance."""
+    if native.available():
+        return native.load_wav_native(path, start, length)
+    audio, sr = load_wav(path)
+    return audio[:, start : start + length], sr
+
+
+def wav_num_frames(path) -> int:
+    """Frame count without decoding (native header read when available)."""
+    if native.available():
+        return native.wav_info(path)[0]
+    return load_wav(path)[0].shape[-1]
 
 
 def save_wav(path, audio: np.ndarray, sample_rate: int) -> None:
