@@ -13,9 +13,17 @@ faster than real time one chip enhances audio.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: the axon remote-compile path is slow; cached
+# executables make repeated bench runs measure compute, not compilation
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 import jax.numpy as jnp
 
 from sddm_tpu.diffusion import DiffusionSchedule
