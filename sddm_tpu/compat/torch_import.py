@@ -1,0 +1,196 @@
+"""Import reference PyTorch checkpoints into sddm_tpu Flax params.
+
+Maps the reference ``UNetModified2`` state_dict (model/UNetModified2.py) onto
+this framework's Flax parameter tree, converting layouts:
+  - Conv2d  [O, I, kh, kw] -> flax kernel [kh, kw, I, O]
+  - Linear  [O, I]         -> Dense kernel [I, O]
+  - GroupNorm weight/bias  -> scale/bias
+
+Weights live inside an ``SDDM`` checkpoint under the
+``noise_estimate_model.`` prefix (the reference saves the composite's
+state_dict, base/base_trainer.py:109-116).
+
+This is both a migration path for users with reference checkpoints and the
+strongest form of parity verification: with imported weights, both
+implementations produce matching outputs (see
+tests/test_torch_import.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _conv(w, b):
+    return {
+        "kernel": jnp.asarray(np.transpose(np.asarray(w), (2, 3, 1, 0))),
+        "bias": jnp.asarray(np.asarray(b)),
+    }
+
+
+def _dense(w, b):
+    return {
+        "kernel": jnp.asarray(np.transpose(np.asarray(w), (1, 0))),
+        "bias": jnp.asarray(np.asarray(b)),
+    }
+
+
+def _norm(w, b):
+    return {"scale": jnp.asarray(np.asarray(w)),
+            "bias": jnp.asarray(np.asarray(b))}
+
+
+def _strip_prefix(state: Mapping[str, "np.ndarray"], prefix: str):
+    out = {}
+    for k, v in state.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = np.asarray(v)
+    return out if out else dict((k, np.asarray(v)) for k, v in state.items())
+
+
+def _convert_resnet_block(sd: Mapping, prefix: str, has_res_conv: bool) -> Dict:
+    out = {
+        "Block_0": {
+            "GroupNorm_0": _norm(
+                sd[f"{prefix}.block1.block.0.weight"],
+                sd[f"{prefix}.block1.block.0.bias"],
+            ),
+            "Conv_0": _conv(
+                sd[f"{prefix}.block1.block.3.weight"]
+                if f"{prefix}.block1.block.3.weight" in sd
+                else sd[f"{prefix}.block1.block.2.weight"],
+                sd[f"{prefix}.block1.block.3.bias"]
+                if f"{prefix}.block1.block.3.bias" in sd
+                else sd[f"{prefix}.block1.block.2.bias"],
+            ),
+        },
+        "FeatureWiseAffine_0": {
+            "Dense_0": _dense(
+                sd[f"{prefix}.noise_func.noise_func.0.weight"],
+                sd[f"{prefix}.noise_func.noise_func.0.bias"],
+            )
+        },
+        "Block_1": {
+            "GroupNorm_0": _norm(
+                sd[f"{prefix}.block2.block.0.weight"],
+                sd[f"{prefix}.block2.block.0.bias"],
+            ),
+            "Conv_0": _conv(
+                sd[f"{prefix}.block2.block.3.weight"]
+                if f"{prefix}.block2.block.3.weight" in sd
+                else sd[f"{prefix}.block2.block.2.weight"],
+                sd[f"{prefix}.block2.block.3.bias"]
+                if f"{prefix}.block2.block.3.bias" in sd
+                else sd[f"{prefix}.block2.block.2.bias"],
+            ),
+        },
+    }
+    if has_res_conv:
+        out["Conv_0"] = _conv(
+            sd[f"{prefix}.res_conv.weight"], sd[f"{prefix}.res_conv.bias"]
+        )
+    return out
+
+
+def import_unet_modified2_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    channel_mults=(1, 2, 3, 4, 5),
+    res_blocks: int = 1,
+    inner_channel: int = 32,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference UNetModified2 state_dict to flax params
+    ``{"params": ...}`` for :class:`sddm_tpu.models.UNetModified2`.
+
+    ``channel_mults``/``res_blocks``/``inner_channel`` must match the config
+    the checkpoint was trained with (network.args in its config.json).
+    """
+    sd = _strip_prefix(state_dict, prefix)
+
+    params: Dict = {}
+    # noise MLP: Sequential(PE, Linear, Swish, Linear, Swish)
+    params["NoiseLevelMLP_0"] = {
+        "Dense_0": _dense(
+            sd["noise_level_mlp.1.weight"], sd["noise_level_mlp.1.bias"]
+        ),
+        "Dense_1": _dense(
+            sd["noise_level_mlp.3.weight"], sd["noise_level_mlp.3.bias"]
+        ),
+    }
+    # first conv = downs.0
+    params["Conv_0"] = _conv(sd["downs.0.weight"], sd["downs.0.bias"])
+
+    rb = 0  # flax ResnetBlock counter
+    ds = 0  # Downsample counter
+    us = 0  # Upsample counter
+    torch_idx = 1  # position within reference downs ModuleList
+
+    # encoder: per level res_blocks ResnetBlocks + 1 Downsample
+    n_in = inner_channel
+    for mult in channel_mults:
+        n_out = inner_channel * mult
+        for _ in range(res_blocks):
+            params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+                sd, f"downs.{torch_idx}", has_res_conv=(n_in != n_out)
+            )
+            n_in = n_out
+            rb += 1
+            torch_idx += 1
+        params[f"Downsample_{ds}"] = {
+            "Conv_0": _conv(
+                sd[f"downs.{torch_idx}.conv.weight"],
+                sd[f"downs.{torch_idx}.conv.bias"],
+            )
+        }
+        ds += 1
+        torch_idx += 1
+
+    # mid: 1 ResnetBlock (same in/out channels -> no res_conv)
+    params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+        sd, "mid.0", has_res_conv=False
+    )
+    rb += 1
+
+    # decoder (reference ups ordering: [skip-Resnet, Upsample,
+    # res_blocks x skip-Resnet] per level, model/UNetModified2.py:208-232)
+    torch_idx = 0
+    num_mults = len(channel_mults)
+    for i, ind in enumerate(reversed(range(num_mults))):
+        params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+            sd, f"ups.{torch_idx}", has_res_conv=True
+        )
+        rb += 1
+        torch_idx += 1
+        params[f"Upsample_{us}"] = {
+            "Conv_0": _conv(
+                sd[f"ups.{torch_idx}.conv.weight"],
+                sd[f"ups.{torch_idx}.conv.bias"],
+            )
+        }
+        us += 1
+        torch_idx += 1
+        for _ in range(res_blocks):
+            params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+                sd, f"ups.{torch_idx}", has_res_conv=True
+            )
+            rb += 1
+            torch_idx += 1
+
+    # final conv Block
+    params["Block_0"] = {
+        "GroupNorm_0": _norm(
+            sd["final_conv.block.0.weight"], sd["final_conv.block.0.bias"]
+        ),
+        "Conv_0": _conv(
+            sd["final_conv.block.3.weight"]
+            if "final_conv.block.3.weight" in sd
+            else sd["final_conv.block.2.weight"],
+            sd["final_conv.block.3.bias"]
+            if "final_conv.block.3.bias" in sd
+            else sd["final_conv.block.2.bias"],
+        ),
+    }
+    return {"params": params}

@@ -83,7 +83,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=self.groups, dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32)(x)
         h = swish(h).astype(x.dtype)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
@@ -117,13 +117,20 @@ class ResnetBlock(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Stride-2 3x3 conv, channels preserved (model/UNetModified2.py:103-109)."""
+    """Stride-2 3x3 conv, channels preserved (model/UNetModified2.py:103-109).
+
+    Explicit (1,1) padding: torch's padding=1 pads both sides, while SAME
+    with stride 2 on even sizes pads (0,1) — same output size, shifted
+    windows (breaks checkpoint-import parity)."""
 
     dim: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding="SAME", dtype=x.dtype)(x)
+        return nn.Conv(
+            self.dim, (3, 3), strides=(2, 2),
+            padding=((1, 1), (1, 1)), dtype=x.dtype,
+        )(x)
 
 
 class Upsample(nn.Module):
@@ -156,7 +163,7 @@ class SelfAttention2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         head_dim = c // self.n_head
-        norm = nn.GroupNorm(num_groups=self.norm_groups, dtype=jnp.float32)(x)
+        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(x)
         norm = norm.astype(x.dtype)
         qkv = nn.Conv(c * 3, (1, 1), use_bias=False, dtype=x.dtype)(norm)
         qkv = qkv.reshape(b, h * w, self.n_head, head_dim, 3)

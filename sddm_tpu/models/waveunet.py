@@ -131,7 +131,7 @@ class ConvLayer(nn.Module):
             )(x)
         if self.conv_type == "gn":
             assert self.n_outputs % 8 == 0
-            h = nn.GroupNorm(num_groups=self.n_outputs // 8,
+            h = nn.GroupNorm(num_groups=self.n_outputs // 8, epsilon=1e-5,
                              dtype=jnp.float32)(h).astype(x.dtype)
             return nn.relu(h)
         if self.conv_type == "normal":
