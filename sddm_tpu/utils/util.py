@@ -31,6 +31,22 @@ def inf_loop(data_loader):
         yield from loader
 
 
+def param_count(params) -> int:
+    """Total trainable parameter count of a params pytree."""
+    import jax
+    import numpy as np
+
+    return int(
+        sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+    )
+
+
+def model_summary(name: str, params) -> str:
+    """Human-readable summary line (reference BaseModel.__str__ prints
+    trainable-parameter count, base/base_model.py:14-25)."""
+    return f"{name}\nTrainable parameters: {param_count(params)}"
+
+
 class MetricTracker:
     """Running averages keyed by metric name (reference utils/util.py:46-67)."""
 
