@@ -109,6 +109,12 @@ def group_norm_swish(
             pltpu.VMEM((c,), jnp.float32),
             pltpu.VMEM((c,), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the axon PJRT's scoped-vmem accounting counts full operands
+            # against the 16MB default even though blocks are tiled; raise
+            # the cap (actual per-step residency is ~3 double-buffered tiles)
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, scale, bias)
 
