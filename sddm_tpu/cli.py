@@ -50,13 +50,23 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 def build_network(config, **kwargs):
     """Construct the denoiser; a top-level ``"dtype": "bfloat16"`` config key
-    selects the network compute dtype (params/norms stay f32)."""
+    selects the network compute dtype (params/norms stay f32).
+
+    Extra kwargs (num_samples etc.) are filtered against the module's
+    dataclass fields — the reference passes num_samples to every network
+    unconditionally and crashes on those that don't take it
+    (e.g. DenoiseWaveGrad1, train.py:34)."""
+    import dataclasses
+
     net_cfg = config["network"]
     cls = get_network(net_cfg["type"])
     args = dict(net_cfg["args"])
     dtype_name = config.get("dtype") if hasattr(config, "get") else None
     if dtype_name and "dtype" not in args:
         args["dtype"] = _DTYPES[dtype_name]
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in kwargs.items() if k in fields}
+    args = {k: v for k, v in args.items() if k in fields or not fields}
     return cls(**args, **kwargs)
 
 

@@ -200,6 +200,12 @@ class DiffusionSchedule:
         delta_estimated[1:] = delta_t_given_t_1 * delta[:-1] / delta[1:]
 
         as_jnp = lambda x: jnp.asarray(x, dtype=dtype)
+        # delta_estimated can be (slightly) negative at degenerate t — the
+        # reference's sqrt produces NaN there too; keep the values, skip the
+        # host warning
+        with np.errstate(invalid="ignore"):
+            sqrt_delta = np.sqrt(delta)
+            sqrt_delta_est = np.sqrt(delta_estimated)
         return cls(
             betas=as_jnp(betas),
             alphas=as_jnp(alphas),
@@ -210,11 +216,11 @@ class DiffusionSchedule:
             supportive_gamma=as_jnp(supportive_gamma),
             supportive_sigma_hat=as_jnp(supportive_sigma_hat),
             m=as_jnp(m),
-            sqrt_delta=as_jnp(np.sqrt(delta)),
+            sqrt_delta=as_jnp(sqrt_delta),
             c_xt=as_jnp(c_xt),
             c_yt=as_jnp(c_yt),
             c_epst=as_jnp(c_epst),
-            sqrt_delta_estimated=as_jnp(np.sqrt(delta_estimated)),
+            sqrt_delta_estimated=as_jnp(sqrt_delta_est),
             num_timesteps=T,
         )
 
