@@ -122,7 +122,6 @@ class BaseDataLoader:
                     items = list(pool.map(self.dataset.__getitem__, batch_idx))
                     return self.collate_fn(items)
 
-                it = iter(batches)
                 for b in batches[:ahead]:
                     futures.append(pool.submit(fetch, b))
                 consumed = 0

@@ -171,7 +171,13 @@ class SDDM:
 class SDDM_spectrogram(SDDM):
     """Vocoder-style SDDM: condition is a spectrogram ``[B, freq, frames]``;
     sampling starts from pure noise of length ``hop_samples * n_frames``
-    (reference model/model.py:206-257)."""
+    (reference model/model.py:206-257).
+
+    TPU-native extension: with ``feature_fn`` set, the condition may be RAW
+    AUDIO ``[B, 1, T]`` and the spectrogram is computed ON DEVICE inside the
+    jitted train/sample step (host streams raw waveforms only — the
+    north-star replacement for the offline prepare_spectrogram.py flow).
+    """
 
     def __init__(
         self,
@@ -179,22 +185,38 @@ class SDDM_spectrogram(SDDM):
         network: nn.Module,
         hop_samples: int,
         noise_condition: str = "sqrt_alpha_bar",
+        feature_fn=None,
     ):
         super().__init__(diffusion, network, noise_condition)
         self.hop_samples = hop_samples
+        self.feature_fn = feature_fn
+
+    def _featurize(self, condition: jnp.ndarray) -> jnp.ndarray:
+        if self.feature_fn is not None and condition.ndim == 3 and (
+            condition.shape[1] == 1
+        ):
+            return self.feature_fn(condition)
+        return condition
+
+    def forward(self, params, key, target, condition, deterministic=True):
+        return super().forward(
+            params, key, target, self._featurize(condition), deterministic
+        )
+
+    def infer(self, params, key, condition, return_trajectory=False):
+        return super().infer(
+            params, key, self._featurize(condition), return_trajectory
+        )
 
     def init(self, key: jax.Array, spec_shape: Tuple[int, ...]):
+        """``spec_shape`` is a spectrogram shape [B, freq, frames] — or a raw
+        audio shape [B, 1, T] when ``feature_fn`` is set."""
         b = spec_shape[0]
-        n_audio = self.hop_samples * spec_shape[-1]
-        spec = jnp.zeros(spec_shape, jnp.float32)
+        spec = self._featurize(jnp.zeros(spec_shape, jnp.float32))
+        n_audio = self.hop_samples * spec.shape[-1]
         audio = jnp.zeros((b, 1, n_audio), jnp.float32)
         level = jnp.ones((b,) + (1,) * 2)
         return self.network.init(key, spec, audio, level)
-
-    def forward(self, params, key, target, condition, deterministic=True):
-        # inherited q process on the waveform target (model/model.py:209 uses
-        # SDDM.forward unchanged)
-        return super().forward(params, key, target, condition, deterministic)
 
     def _x_T(self, key: jax.Array, condition: jnp.ndarray) -> jnp.ndarray:
         b = condition.shape[0]

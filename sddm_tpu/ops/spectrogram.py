@@ -106,3 +106,35 @@ def log_compress(spec: jnp.ndarray) -> jnp.ndarray:
     (prepare_spectrogram.py:43-46, :50-54)."""
     x = jnp.log10(spec) - 1.0
     return jnp.clip((x + 5.0) / 5.0, 0.0, 1.0)
+
+
+def make_feature_fn(
+    kind: str,
+    n_fft: int,
+    hop_samples: int,
+    n_mels: int | None = None,
+    sample_rate: int | None = None,
+):
+    """Build an on-device feature extractor ``[B, 1, T] -> [B, freq, T//hop]``
+    for the spectrogram-conditioned models: the full
+    prepare_spectrogram.py transform as a pure jnp function that runs fused
+    inside the jitted train/sample step (host streams raw waveforms only).
+
+    ``kind``: "spec" (|STFT|) or "mel".  The center-padded STFT yields
+    ``1 + T//hop`` frames; the trailing frame is dropped so
+    ``frames * hop == T`` (matching the reference Collator's alignment,
+    data_loader/numpy_dataset.py:60-77).
+    """
+    def fn(audio: jnp.ndarray) -> jnp.ndarray:
+        a = audio[:, 0, :]
+        if kind == "mel":
+            spec = mel_spectrogram(
+                a, n_fft, hop_samples, n_mels, sample_rate
+            )
+        else:
+            spec = stft_magnitude(a, n_fft, hop_samples)
+        spec = log_compress(spec)
+        frames = audio.shape[-1] // hop_samples
+        return spec[..., :frames]
+
+    return fn

@@ -42,16 +42,25 @@ def main(config):
         or config.get("mel_spectrogram", {}).get("n_mels", 128)
     )
 
+    # TPU-native on-device feature mode: datasets stream RAW paired wav
+    # crops (AudioDataset) and the spectrogram is computed inside the jitted
+    # step — the offline prepare_spectrogram.py pass becomes optional
+    on_device = bool(spec_cfg.get("on_device")) or (
+        config["tr_dataset"]["type"] == "AudioDataset"
+    )
+
     tr_dataset = build_dataset(
         config, "tr_dataset", sample_rate=sample_rate, T=num_samples
     )
     val_dataset = build_dataset(
         config, "val_dataset", sample_rate=sample_rate, T=num_samples
     )
-    extra = {} if "hop_samples" in loader_args else {"hop_samples": hop_samples}
+    extra = {}
+    if not on_device and "hop_samples" not in loader_args:
+        extra = {"hop_samples": hop_samples}
     tr_loader = build_data_loader(config, "data_loader", tr_dataset, **extra)
     val_loader = build_data_loader(config, "data_loader", val_dataset, **extra)
-    logger.info("Finished initializing datasets")
+    logger.info("Finished initializing datasets (on_device=%s)", on_device)
 
     diffusion = build_diffusion(config)
     net_cfg = config["network"]
@@ -64,9 +73,29 @@ def main(config):
 
     arch_args = dict(config["arch"].get("args", {}))
     arch_args.setdefault("hop_samples", hop_samples)
+    if on_device:
+        from sddm_tpu.ops.spectrogram import make_feature_fn
+
+        datatype = config["tr_dataset"]["args"].get("datatype", ".wav")
+        kind = "mel" if "mel" in str(spec_cfg.get("kind", "spec")) else "spec"
+        arch_args["feature_fn"] = make_feature_fn(
+            kind,
+            spec_cfg["window_length"],
+            hop_samples,
+            n_mels=config.get("mel_spectrogram", {}).get("n_mels"),
+            sample_rate=sample_rate,
+        )
+        if num_samples % hop_samples != 0:
+            raise SystemExit(
+                "on-device feature mode needs num_samples divisible by "
+                f"hop_samples ({num_samples} % {hop_samples} != 0)"
+            )
+        sample_shape = (loader_args["batch_size"], 1, num_samples)
+    else:
+        crop = loader_args["crop_mel_frames"]
+        sample_shape = (loader_args["batch_size"], freq_bins, crop)
     model = SDDM_spectrogram(diffusion, network, **arch_args)
 
-    crop = loader_args["crop_mel_frames"]
     trainer = Trainer(
         model,
         build_loss(config),
@@ -76,7 +105,7 @@ def main(config):
         data_loader=tr_loader,
         valid_data_loader=val_loader,
         mesh=make_mesh(),
-        sample_shape=(loader_args["batch_size"], freq_bins, crop),
+        sample_shape=sample_shape,
     )
     trainer.train()
 
