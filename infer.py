@@ -102,8 +102,26 @@ def main(config, continuous=False):
             lambda p, k, c: model.infer(p, k, c, return_trajectory=True)
         )
 
+    # Static-shape batching: chunk counts vary per utterance, and every new
+    # row count would retrace/recompile the T-step sampler (minutes per
+    # shape on TPU).  Pad every chunk batch to the dataset-wide maximum so
+    # ONE compiled program serves the whole run; padded rows are discarded.
+    max_rows = 0
+    for _t, _c, idx in infer_data_loader:
+        max_rows = max(max_rows, len(idx))
+
+    def pad_rows(arr):
+        pad = max_rows - arr.shape[0]
+        if pad <= 0:
+            return arr
+        return np.concatenate(
+            [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0
+        )
+
     total_loss, n_batches = 0.0, 0
     for target, condition, index in infer_data_loader:
+        n_real = target.shape[0]
+        target, condition = pad_rows(target), pad_rows(condition)
         key, sub = jax.random.split(key)
         if continuous:
             output, traj = traj_jit(params, sub, jnp.asarray(condition))
@@ -122,7 +140,8 @@ def main(config, continuous=False):
                     )
         else:
             output = infer_jit(params, sub, jnp.asarray(condition))
-        output_np = np.asarray(output)
+        output_np = np.asarray(output)[:n_real]
+        target, condition = target[:n_real], condition[:n_real]
 
         # regroup chunk rows by file index and flush every file
         for file_idx in np.unique(index):
@@ -137,7 +156,8 @@ def main(config, continuous=False):
                 },
             )
 
-        total_loss += float(loss_fn(output, jnp.asarray(target)))
+        total_loss += float(loss_fn(jnp.asarray(output_np),
+                                    jnp.asarray(target)))
         n_batches += 1
 
     logger.info({"loss": total_loss / max(n_batches, 1)})

@@ -1,0 +1,52 @@
+"""Serving API: chunking, static-shape batching, mesh sharding, length
+round-trips."""
+
+import jax
+import numpy as np
+import pytest
+
+from sddm_tpu.diffusion import DiffusionSchedule
+from sddm_tpu.enhance import Enhancer
+from sddm_tpu.models import SDDM, UNetModified2
+from sddm_tpu.parallel import make_mesh
+
+NS = 72
+
+
+@pytest.fixture(scope="module")
+def enhancer():
+    sched = DiffusionSchedule.create("linear", 3, 1e-6, 1e-3)
+    net = UNetModified2(
+        num_samples=NS, inner_channel=8, norm_groups=4, channel_mults=(1, 2),
+        res_blocks=1, segment_len=16, segment_stride=8,
+    )
+    model = SDDM(sched, net, p_transition="condition_in")
+    params = model.init(jax.random.PRNGKey(0), (2, 1, NS))
+    return Enhancer(model, params, NS, batch_rows=8, mesh=make_mesh())
+
+
+class TestEnhancer:
+    def test_single_short(self, enhancer):
+        x = np.random.RandomState(0).uniform(-0.3, 0.3, 50).astype(np.float32)
+        y = enhancer.enhance(x)
+        assert y.shape == (50,)
+        assert np.all(np.isfinite(y))
+
+    def test_lengths_round_trip(self, enhancer):
+        rng = np.random.RandomState(1)
+        lens = [10, NS, NS + 1, 5 * NS - 3]
+        audios = [rng.uniform(-0.3, 0.3, n).astype(np.float32) for n in lens]
+        outs = enhancer.enhance_batch(audios)
+        assert [o.shape[-1] for o in outs] == lens
+
+    def test_static_shapes_single_compile(self, enhancer):
+        """Different utterance lengths must reuse ONE compiled program."""
+        rng = np.random.RandomState(2)
+        enhancer.enhance(rng.uniform(-0.3, 0.3, 30).astype(np.float32))
+        sizes0 = enhancer._infer._cache_size()
+        enhancer.enhance(rng.uniform(-0.3, 0.3, 3 * NS + 7).astype(np.float32))
+        enhancer.enhance_batch(
+            [rng.uniform(-0.3, 0.3, 2 * NS).astype(np.float32),
+             rng.uniform(-0.3, 0.3, 11).astype(np.float32)]
+        )
+        assert enhancer._infer._cache_size() == sizes0 == 1
