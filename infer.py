@@ -35,7 +35,7 @@ from sddm_tpu.utils import ConfigParser
 EXPAND_ORDER = 3
 
 
-def main(config, continuous=False):
+def main(config, continuous=False, num_steps=None):
     logger = config.get_logger("infer")
     datatype = config["infer_dataset"]["args"]["datatype"]
     sample_rate = config["sample_rate"]
@@ -65,6 +65,9 @@ def main(config, continuous=False):
     diffusion = build_diffusion(config)
     network = build_network_with_samples(config)
     model = build_arch(config, diffusion, network)
+    if num_steps is not None:
+        model = model.with_sampling_steps(num_steps)
+        logger.info("fast sampling: %d reverse steps", model.num_timesteps)
 
     if config.resume is None:
         raise SystemExit("infer requires -r/--resume pointing at a checkpoint")
@@ -177,6 +180,11 @@ if __name__ == "__main__":
         "--continuous", action="store_true",
         help="also save intermediate samples every 1|(T//100) steps",
     )
+    args.add_argument(
+        "--steps", type=int, default=None,
+        help="fast sampling: run this many reverse steps (<= T) over a "
+        "subsequence of the trained schedule",
+    )
     config = ConfigParser.from_args(args)
     parsed = args.parse_args()
-    main(config, continuous=parsed.continuous)
+    main(config, continuous=parsed.continuous, num_steps=parsed.steps)

@@ -230,6 +230,110 @@ def broadcast_to_batch(values: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return values.reshape(values.shape[:1] + (1,) * (ndim - 1))
 
 
+def _tables_from_alpha_bar(alpha_bar: np.ndarray) -> dict:
+    """Derive every coefficient table from a (T+1)-length alpha_bar sequence
+    (index 0 == 1.0).  Shared by ``create`` and ``subsample`` — the closed
+    forms are exactly model/diffusion.py:98-161."""
+    betas = np.zeros_like(alpha_bar)
+    betas[1:] = 1.0 - alpha_bar[1:] / alpha_bar[:-1]
+    alphas = 1.0 - betas
+    sqrt_alpha_bar = np.sqrt(alpha_bar)
+
+    sigma = np.zeros_like(betas)
+    sigma[1:] = (
+        (1.0 - alpha_bar[:-1]) / (1.0 - alpha_bar[1:]) * betas[1:]
+    ) ** 0.5
+    predicted_noise_coeff = np.zeros_like(betas)
+    predicted_noise_coeff[1:] = betas[1:] / np.sqrt(1.0 - alpha_bar[1:])
+
+    supportive_gamma = np.zeros_like(betas)
+    supportive_gamma[1] = 0.2
+    supportive_gamma[2:] = sigma[2:]
+    supportive_sigma_hat = np.zeros_like(betas)
+    supportive_sigma_hat[1:] = sigma[1:] - supportive_gamma[1:] / np.sqrt(
+        alphas[1:]
+    )
+
+    m = np.sqrt((1.0 - alpha_bar) / sqrt_alpha_bar)
+    delta = (1.0 - alpha_bar) - m**2 * alpha_bar
+    one_minus_m_ratio = (1.0 - m[1:]) / (1.0 - m[:-1])
+    alpha_t_delta_t_1 = alphas[1:] * delta[:-1]
+    delta_t_given_t_1 = delta[1:] - one_minus_m_ratio**2 * alpha_t_delta_t_1
+    sqrt_alphas = np.sqrt(alphas[1:])
+
+    c_xt = np.zeros_like(betas)
+    c_xt[1:] = one_minus_m_ratio * delta[:-1] / delta[1:] * sqrt_alphas + (
+        1.0 - m[:-1]
+    ) * (delta_t_given_t_1 / delta[1:]) * (1.0 / sqrt_alphas)
+    c_yt = np.zeros_like(betas)
+    c_yt[1:] = (
+        (m[:-1] * delta[1:] - m[1:] * one_minus_m_ratio * alpha_t_delta_t_1)
+        * sqrt_alpha_bar[:-1]
+        / delta[1:]
+    )
+    c_epst = np.zeros_like(betas)
+    c_epst[1:] = (
+        (1.0 - m[:-1])
+        * delta_t_given_t_1
+        / delta[1:]
+        * np.sqrt(1.0 - alpha_bar[1:])
+        / sqrt_alphas
+    )
+    delta_estimated = np.zeros_like(betas)
+    delta_estimated[1:] = delta_t_given_t_1 * delta[:-1] / delta[1:]
+
+    with np.errstate(invalid="ignore"):
+        sqrt_delta = np.sqrt(delta)
+        sqrt_delta_est = np.sqrt(delta_estimated)
+    return dict(
+        betas=betas,
+        alphas=alphas,
+        alpha_bar=alpha_bar,
+        sqrt_alpha_bar=sqrt_alpha_bar,
+        sigma=sigma,
+        predicted_noise_coeff=predicted_noise_coeff,
+        supportive_gamma=supportive_gamma,
+        supportive_sigma_hat=supportive_sigma_hat,
+        m=m,
+        sqrt_delta=sqrt_delta,
+        c_xt=c_xt,
+        c_yt=c_yt,
+        c_epst=c_epst,
+        sqrt_delta_estimated=sqrt_delta_est,
+    )
+
+
+def subsample_schedule(
+    sched: "DiffusionSchedule", num_steps: int
+):
+    """Fast sampling: build a ``num_steps``-step schedule whose alpha_bar is
+    a subsequence of the trained schedule's (DDPM-subsequence ancestral
+    sampling).  The denoiser still receives the ORIGINAL noise levels
+    (sqrt_alpha_bar values it was trained on); only the reverse-step
+    coefficients change.  A TPU-era extension beyond the reference (its
+    sampler always runs all T steps).
+
+    Returns ``(schedule, t_map)`` where ``t_map[k]`` is the ORIGINAL step
+    index the k-th subsampled step corresponds to (index 0 pads with 0) —
+    needed by time_step-conditioned denoisers."""
+    T = sched.num_timesteps
+    if not (1 <= num_steps <= T):
+        raise ValueError(f"num_steps must be in [1, {T}]")
+    # evenly spaced subsequence ending at T (always includes the last step)
+    ts = np.linspace(T / num_steps, T, num_steps)
+    ts = np.unique(np.round(ts).astype(int))
+    ab_full = np.asarray(sched.alpha_bar, dtype=np.float64)
+    ab = np.concatenate([[1.0], ab_full[ts]])
+    tables = _tables_from_alpha_bar(ab)
+    as_jnp = lambda x: jnp.asarray(x, dtype=sched.betas.dtype)
+    sub = DiffusionSchedule(
+        **{k: as_jnp(v) for k, v in tables.items()},
+        num_timesteps=len(ts),
+    )
+    t_map = jnp.asarray(np.concatenate([[0], ts]), jnp.int32)
+    return sub, t_map
+
+
 # Registry-friendly constructor matching the reference's config schema
 # ("diffusion": {"type": "GaussianDiffusion", "args": {...}}).
 def GaussianDiffusion(

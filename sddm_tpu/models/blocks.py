@@ -20,8 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .norms import GroupNorm
-
 Dtype = Any
 
 
@@ -85,7 +83,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32)(x)
         h = swish(h).astype(x.dtype)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
@@ -165,7 +163,7 @@ class SelfAttention2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         head_dim = c // self.n_head
-        norm = GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(x)
+        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(x)
         norm = norm.astype(x.dtype)
         qkv = nn.Conv(c * 3, (1, 1), use_bias=False, dtype=x.dtype)(norm)
         qkv = qkv.reshape(b, h * w, self.n_head, head_dim, 3)

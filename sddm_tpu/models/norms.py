@@ -11,6 +11,12 @@ arrays.  ~20x faster measured on the flagship shapes, numerically identical.
 Parameter names/shapes match nn.GroupNorm ("scale"/"bias" of [C]) and the
 class name keeps the ``GroupNorm_N`` scope, so checkpoints are
 interchangeable with the flax module (and torch imports keep working).
+
+Status: NOT the default in the model path.  In-model A/B against flax's
+GroupNorm was inconclusive (both 18.7-20.2x RTF; run-to-run relay drift of
+the same magnitude) — inside the fused sampler loop XLA handles either
+equally.  Kept for isolated-op use, where the 20x gap is real — see
+PERFORMANCE.md.
 """
 
 from __future__ import annotations

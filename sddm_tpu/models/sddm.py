@@ -61,6 +61,26 @@ class SDDM:
         self.noise_condition = noise_condition
         self.p_transition = p_transition
         self.q_transition = q_transition
+        # set by with_sampling_steps: maps subsampled step index -> original
+        # trained step index (needed for time_step conditioning)
+        self._t_map = None
+
+    def with_sampling_steps(self, num_steps: int) -> "SDDM":
+        """Fast sampling: a copy of this model whose reverse sampler runs
+        ``num_steps`` (<= T) steps over a subsequence of the trained
+        schedule.  Training and the denoiser are untouched — the network
+        still sees the original noise levels.  TPU-era extension beyond the
+        reference's always-T sampler."""
+        import copy
+
+        from ..diffusion.schedule import subsample_schedule  # noqa: PLC0415
+
+        new = copy.copy(self)
+        new.diffusion, new._t_map = subsample_schedule(
+            self.diffusion, num_steps
+        )
+        new.num_timesteps = new.diffusion.num_timesteps
+        return new
 
     # -- parameter init ----------------------------------------------------
     def init(self, key: jax.Array, sample_shape: Tuple[int, ...]):
@@ -119,7 +139,8 @@ class SDDM:
                 condition.shape[:1] + (1,) * (condition.ndim - 1), condition.dtype
             )
         else:  # time_step
-            nl = t.astype(condition.dtype) * jnp.ones(
+            t_orig = self._t_map[t] if self._t_map is not None else t
+            nl = t_orig.astype(condition.dtype) * jnp.ones(
                 condition.shape[:1] + (1,) * (condition.ndim - 1), condition.dtype
             )
         predicted = self._apply(params, condition, x_t, nl, True)
@@ -229,7 +250,8 @@ class SDDM_spectrogram(SDDM):
         if self.noise_condition == "sqrt_alpha_bar":
             nl = sched.sqrt_alpha_bar[t] * jnp.ones(shape, x_t.dtype)
         else:
-            nl = t.astype(x_t.dtype) * jnp.ones(shape, x_t.dtype)
+            t_orig = self._t_map[t] if self._t_map is not None else t
+            nl = t_orig.astype(x_t.dtype) * jnp.ones(shape, x_t.dtype)
         predicted = self._apply(params, condition, x_t, nl, True)
         # spectrogram model always uses the original transition
         # (model/model.py:239,255)

@@ -17,8 +17,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import Block, Downsample, swish
-from .norms import GroupNorm
-
 
 class SNRResnetBlock(nn.Module):
     """ResnetBlock WITHOUT noise injection (reference model/snr_estimator.py:37-47)."""
@@ -53,7 +51,7 @@ class SNRBlock(nn.Module):
         dim_out = self.dim * self.len_segment_in
         k = self.len_segment_in
         h = nn.Conv(dim_out, (k, k), strides=(k, k), dtype=x.dtype)(x)
-        h = GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(h)
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(h)
         h = swish(h).astype(x.dtype)
         h = h.reshape(b, -1)
         return nn.Dense(self.n_segment_out, dtype=x.dtype)(h)

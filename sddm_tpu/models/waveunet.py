@@ -25,8 +25,6 @@ import numpy as np
 from flax import linen as nn
 
 from .wavegrad import WaveGradPositionalEncoding
-from .norms import GroupNorm
-
 
 def build_sinc_filter(kernel_size: int, cutoff: float) -> np.ndarray:
     """Blackman-windowed sinc low-pass (reference waveunet.py:88-103,
@@ -132,7 +130,7 @@ class ConvLayer(nn.Module):
             )(x)
         if self.conv_type == "gn":
             assert self.n_outputs % 8 == 0
-            h = GroupNorm(num_groups=self.n_outputs // 8, epsilon=1e-5,
+            h = nn.GroupNorm(num_groups=self.n_outputs // 8, epsilon=1e-5,
                           dtype=jnp.float32)(h).astype(x.dtype)
             return nn.relu(h)
         if self.conv_type == "normal":

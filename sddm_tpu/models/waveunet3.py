@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import swish
-from .norms import GroupNorm
 from .waveunet import ConvLayer
 
 
@@ -50,7 +49,7 @@ class Block1D(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        h = GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32)(x)
         h = swish(h).astype(x.dtype)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -90,7 +89,7 @@ class SelfAttention1D(nn.Module):
     def __call__(self, x):
         b, t, c = x.shape
         head_dim = c // self.n_head
-        norm = GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(x)
+        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(x)
         qkv = nn.Conv(c * 3, (1,), use_bias=False, dtype=x.dtype)(
             norm.astype(x.dtype)
         )
