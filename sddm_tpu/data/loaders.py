@@ -16,7 +16,7 @@ host->device transfer, optionally sharded across a mesh by the trainer.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Optional
 
 import numpy as np
 

@@ -18,8 +18,6 @@ diffusion steps are ``1..T``, matching the reference's indexing convention.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

@@ -15,7 +15,7 @@ multi-chip batch parallelism.
 from __future__ import annotations
 
 from math import ceil
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

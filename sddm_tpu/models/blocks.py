@@ -13,7 +13,7 @@ TPU-first conventions:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ are explicit pytrees (the functional JAX idiom), not module state.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ..diffusion import transitions as tr
 from ..diffusion import variable as var
-from ..diffusion.schedule import DiffusionSchedule, broadcast_to_batch
+from ..diffusion.schedule import DiffusionSchedule
 from ..ops.framing import Segmentor
 
 NOISE_CONDITIONS = ("sqrt_alpha_bar", "time_step")

@@ -17,8 +17,6 @@ the short frame axes only); everything else is batched matmuls.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ upsamples only between levels; noise MLP has no final Swish.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -16,7 +16,6 @@ geometry self-check.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional, Sequence
 
 import jax

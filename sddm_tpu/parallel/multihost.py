@@ -11,7 +11,7 @@ correctly under ``jax.distributed.initialize`` on pods.
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Sequence
+from typing import Any, Iterator
 
 import jax
 import numpy as np

@@ -10,7 +10,6 @@ over the mesh), checkpoints are msgpack (see checkpoints.py), and subclass
 from __future__ import annotations
 
 import abc
-import logging
 from numbers import Number
 
 import numpy as np

@@ -7,8 +7,6 @@ at the estimator checkpoint; its params are loaded and never updated
 (stop_gradient inside the composite + zero-grad Adam updates).
 """
 
-import jax
-
 from sddm_tpu.cli import (
     DEFAULT_OPTIONS,
     build_data_loader,
