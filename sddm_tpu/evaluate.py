@@ -60,6 +60,16 @@ def make_evaluators(sample_rate: int):
             evaluators[name] = (
                 lambda out, ref, _fn=fn: _fn(out, ref, sample_rate)
             )
+        else:
+            # certified C library absent: register the clearly-named
+            # approximation instead (see ops/pesq_approx.py docstring)
+            from .ops.pesq_approx import pesq_approx
+
+            evaluators[f"{name}_approx"] = (
+                lambda out, ref, _m=mode: pesq_approx(
+                    ref, out, sample_rate, _m
+                )
+            )
     return evaluators
 
 
@@ -78,9 +88,18 @@ def evaluate(
     evaluators = make_evaluators(sample_rate)
 
     metrics = list(metrics)
-    available = [m for m in metrics if m in evaluators]
+    available = []
     for m in metrics:
-        if m not in evaluators:
+        if m in evaluators:
+            available.append(m)
+        elif f"{m}_approx" in evaluators:
+            logger.warning(
+                "certified '%s' unavailable (missing host C library); "
+                "reporting '%s_approx' (P.862-style approximation) instead",
+                m, m,
+            )
+            available.append(f"{m}_approx")
+        else:
             logger.warning(
                 "metric '%s' unavailable (missing host library); skipping", m
             )

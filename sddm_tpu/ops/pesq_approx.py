@@ -1,0 +1,155 @@
+"""Approximate PESQ-style MOS estimator (P.862-inspired), numpy.
+
+The certified PESQ algorithm lives in the host C ``pesq`` library (the
+reference consumes it via torchmetrics, evaluate_results.py:19-20).  When
+that library is unavailable this module provides an APPROXIMATION with the
+same structure as ITU-T P.862's perceptual model for TIME-ALIGNED signals
+(true for this framework's outputs, which are sample-aligned by
+construction):
+
+  level alignment -> 32 ms Hann power spectra -> Bark-spaced band powers ->
+  Zwicker loudness with an absolute-threshold curve -> symmetric +
+  asymmetric disturbance densities -> L6/L2 two-stage aggregation ->
+  logistic MOS-LQO mapping.
+
+It is NOT bit-compatible with P.862 (the exact band tables and cognitive
+model are not reproduced) and is reported as ``pesq_wb_approx`` /
+``pesq_nb_approx`` — never under the certified metric's name.  Scores track
+the certified metric qualitatively: identical signals score near the top of
+the scale and increasing distortion decreases the score monotonically
+(property-tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.signal import resample_poly
+
+_N_BANDS = 49
+
+
+def _frames(x: np.ndarray, n: int, hop: int) -> np.ndarray:
+    count = max(0, (len(x) - n) // hop + 1)
+    idx = np.arange(count)[:, None] * hop + np.arange(n)[None, :]
+    return x[idx] * np.hanning(n)[None, :]
+
+
+def _bark(f):
+    return 6.0 * np.arcsinh(np.asarray(f) / 600.0)
+
+
+def _abs_threshold_db(f_hz: np.ndarray) -> np.ndarray:
+    """Terhardt absolute-threshold approximation (dB SPL)."""
+    f = np.maximum(np.asarray(f_hz, np.float64), 20.0) / 1000.0
+    return (
+        3.64 * f**-0.8
+        - 6.5 * np.exp(-0.6 * (f - 3.3) ** 2)
+        + 1e-3 * f**4
+    )
+
+
+def _band_matrix(fs: int, nfft: int, n_bands: int):
+    freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+    z = _bark(freqs)
+    edges = np.linspace(_bark(50.0), _bark(fs / 2.0), n_bands + 1)
+    mat = np.zeros((n_bands, len(freqs)))
+    centers = np.zeros(n_bands)
+    for i in range(n_bands):
+        sel = (z >= edges[i]) & (z < edges[i + 1])
+        if not np.any(sel):
+            sel = np.argmin(np.abs(z - (edges[i] + edges[i + 1]) / 2))
+        mat[i, sel] = 1.0
+        centers[i] = freqs[np.atleast_1d(sel).astype(bool).argmax()] if (
+            np.ndim(sel) and np.any(sel)
+        ) else freqs[int(np.atleast_1d(sel)[0])]
+    # center frequency = mean frequency of the band's bins
+    for i in range(n_bands):
+        bins = np.nonzero(mat[i])[0]
+        centers[i] = freqs[bins].mean() if len(bins) else freqs[-1]
+    return mat, centers
+
+
+def _loudness(band_power: np.ndarray, threshold_p: np.ndarray) -> np.ndarray:
+    """Zwicker-law loudness density per band."""
+    p0 = threshold_p[None, :]
+    ratio = np.maximum(band_power / p0, 0.0)
+    sl = (p0 / 0.5) ** 0.23
+    return sl * ((0.5 + 0.5 * ratio) ** 0.23 - 1.0)
+
+
+def pesq_approx(ref: np.ndarray, deg: np.ndarray, fs: int,
+                mode: str = "wb") -> float:
+    """Approximate MOS-LQO in ~[1.0, 4.64]; higher is better."""
+    target_fs = 16000 if mode == "wb" else 8000
+    ref = np.asarray(ref, np.float64).reshape(-1)
+    deg = np.asarray(deg, np.float64).reshape(-1)
+    n = min(len(ref), len(deg))
+    ref, deg = ref[:n], deg[:n]
+    if fs != target_fs:
+        g = np.gcd(fs, target_fs)
+        ref = resample_poly(ref, target_fs // g, fs // g)
+        deg = resample_poly(deg, target_fs // g, fs // g)
+
+    # level alignment: equalize active power
+    def rms(x):
+        return np.sqrt(np.mean(x**2) + 1e-20)
+
+    ref = ref / rms(ref)
+    deg = deg / rms(deg)
+
+    nfft = 512 if target_fs == 16000 else 256
+    hop = nfft // 2
+    fr = _frames(ref, nfft, hop)
+    fd = _frames(deg, nfft, hop)
+    if fr.shape[0] < 4:
+        return 1.0
+    Pr = np.abs(np.fft.rfft(fr, axis=-1)) ** 2
+    Pd = np.abs(np.fft.rfft(fd, axis=-1)) ** 2
+
+    band_mat, centers = _band_matrix(target_fs, nfft, _N_BANDS)
+    Br = Pr @ band_mat.T
+    Bd = Pd @ band_mat.T
+
+    # silent-frame exclusion on the reference
+    energy = Br.sum(axis=1)
+    active = energy > (energy.max() * 1e-4)
+    if active.sum() < 4:
+        return 1.0
+    Br, Bd = Br[active], Bd[active]
+
+    thr_db = _abs_threshold_db(centers)
+    # express the threshold relative to the aligned signal scale
+    thr_p = 10.0 ** ((thr_db - 90.0) / 10.0)
+
+    Lr = _loudness(Br, thr_p)
+    Ld = _loudness(Bd, thr_p)
+
+    # symmetric disturbance with P.862-style deadzone
+    m = 0.25 * np.minimum(Lr, Ld)
+    d = np.maximum(np.abs(Ld - Lr) - m, 0.0)
+    # asymmetric disturbance: additive (noise-like) errors weigh more
+    asym = ((Bd + 50.0) / (Br + 50.0)) ** 1.2
+    asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
+    da = d * asym
+
+    def aggregate(x, p_frame=2.0, p_time=6.0, block=20):
+        frame_d = (x**p_frame).sum(axis=1) ** (1.0 / p_frame)
+        nb = max(1, len(frame_d) // block)
+        blocks = [
+            (np.mean(frame_d[i * block : (i + 1) * block] ** p_time))
+            ** (1.0 / p_time)
+            for i in range(nb)
+        ]
+        return float(np.sqrt(np.mean(np.square(blocks))))
+
+    D = aggregate(d)
+    DA = aggregate(da)
+
+    # coefficients calibrated on additive-noise sweeps so the MOS-vs-SNR
+    # curve lands in the plausible range (40 dB SNR -> ~4.3, 20 dB -> ~3,
+    # 14 dB -> ~2.1, 4 dB -> ~1.4); the compressive exponent keeps the
+    # asymmetric (additive-error) term from saturating
+    raw = 4.5 - 0.1 * D - 0.11 * DA**0.4
+    raw = float(np.clip(raw, -0.5, 4.5))
+    # P.862.1/.2 logistic MOS-LQO mapping
+    return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
