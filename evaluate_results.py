@@ -22,11 +22,15 @@ if __name__ == "__main__":
                         default=["pesq_wb", "stoi", "sisnr"])
     parser.add_argument("--load", action="store_true",
                         help="summarize previously saved metric vectors")
+    parser.add_argument("--plot", action="store_true",
+                        help="with --load: save best-improvement waveform "
+                        "figures (reference loadResults shows these)")
     args = parser.parse_args()
 
     logger = logging.getLogger("evaluate")
     if args.load:
-        summary = load_results(args.samples_path, args.metrics)
+        summary = load_results(args.samples_path, args.metrics,
+                               plot=args.plot, sample_rate=args.sample_rate)
         for m, vals in summary.items():
             logger.info("%s: %s", m, vals)
     else:

@@ -133,19 +133,51 @@ def evaluate(
     return results
 
 
-def load_results(samples_path, metrics) -> dict:
-    """Summaries from saved vectors (reference evaluate_results.py:44-58,
-    without the matplotlib display)."""
+def load_results(samples_path, metrics, plot: bool = False,
+                 sample_rate: int = 16000) -> dict:
+    """Summaries from saved vectors (reference evaluate_results.py:44-77).
+
+    With ``plot=True``, saves a clean/noisy/denoised waveform figure of the
+    best-improvement utterance per metric as ``best_<m>.png`` in the samples
+    dir (the reference shows it interactively)."""
     samples_path = Path(samples_path)
     out = {}
     for m in metrics:
         output_v = np.load(samples_path / f"output_{m}.npy")
         noisy_v = np.load(samples_path / f"noisy_{m}.npy")
         improvement = output_v - noisy_v
+        best_idx = int(improvement.argmax())
         out[m] = {
             "output_mean": float(output_v.mean()),
             "noisy_mean": float(noisy_v.mean()),
             "max_improvement": float(improvement.max()),
-            "max_improvement_index": int(improvement.argmax()),
+            "max_improvement_index": best_idx,
         }
+        if plot:
+            _plot_best(samples_path, m, best_idx, sample_rate)
     return out
+
+
+def _plot_best(samples_path: Path, metric: str, idx: int,
+               sample_rate: int) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dataset = OutputDataset(samples_path, ".wav", sample_rate)
+    clean, noisy, output = dataset[idx]
+    t = np.arange(clean.shape[-1]) / sample_rate
+    fig, axs = plt.subplots(3, 1, sharex=True, figsize=(10, 6))
+    plt.subplots_adjust(hspace=0.4)
+    for ax, (sig, title) in zip(
+        axs,
+        [(clean, "Clean Speech"), (noisy, "Noisy Speech"),
+         (output, "De-noised Speech")],
+    ):
+        ax.plot(t, sig.reshape(-1), linewidth=0.5)
+        ax.set_ylabel("Amplitude")
+        ax.set_title(title)
+    axs[2].set_xlabel("Time, s")
+    fig.savefig(samples_path / f"best_{metric}.png", dpi=120)
+    plt.close(fig)
