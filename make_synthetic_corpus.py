@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Generate the reproducible synthetic speech-shaped corpus used for
+quality runs (no VoiceBank-DEMAND exists in this container — see
+sddm_tpu/data/synth.py). Deterministic in --seed.
+
+Usage: python make_synthetic_corpus.py --root data/synth --n-train 2000 --n-test 200
+"""
+
+import argparse
+import os
+
+from sddm_tpu.data.synth import generate_corpus
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="data/synth")
+    ap.add_argument("--n-train", type=int, default=2000)
+    ap.add_argument("--n-test", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=2026)
+    args = ap.parse_args()
+
+    generate_corpus(os.path.join(args.root, "train"), args.n_train,
+                    seed=args.seed, split="train")
+    generate_corpus(os.path.join(args.root, "test"), args.n_test,
+                    seed=args.seed + 1, split="test")
+    print(f"corpus at {args.root}: {args.n_train} train / {args.n_test} test")
+
+
+if __name__ == "__main__":
+    main()

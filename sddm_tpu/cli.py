@@ -8,7 +8,9 @@ from __future__ import annotations
 
 import argparse
 import collections
+import os
 
+import jax
 import jax.numpy as jnp
 
 from .data import DATA_LOADERS, DATASETS
@@ -26,7 +28,24 @@ DEFAULT_OPTIONS = [
 ]
 
 
+def setup_compile_cache(path: str | None = None) -> None:
+    """Persist XLA executables across runs (the axon remote-compile path
+    takes minutes for fresh full-size programs; cached reloads are fast).
+
+    Default cache dir is ``<repo>/.jax_cache`` (same as bench.py); override
+    with ``SDDM_COMPILE_CACHE`` (empty string disables)."""
+    if path is None:
+        path = os.environ.get(
+            "SDDM_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
+    if path:
+        jax.config.update("jax_compilation_cache_dir", path)
+
+
 def standard_argparser(description: str) -> argparse.ArgumentParser:
+    setup_compile_cache()
     args = argparse.ArgumentParser(description=description)
     args.add_argument("-c", "--config", default=None, type=str,
                       help="config file path (default: None)")

@@ -44,11 +44,15 @@ def _norm(w, b):
 
 
 def _strip_prefix(state: Mapping[str, "np.ndarray"], prefix: str):
+    # np.array (copy) rather than np.asarray: jnp.asarray on the CPU backend
+    # zero-copies aligned numpy views, and torch tensors expose such views —
+    # without the copy the imported params would ALIAS live torch parameter
+    # memory and mutate under a later torch optimizer.step().
     out = {}
     for k, v in state.items():
         if k.startswith(prefix):
-            out[k[len(prefix):]] = np.asarray(v)
-    return out if out else dict((k, np.asarray(v)) for k, v in state.items())
+            out[k[len(prefix):]] = np.array(v)
+    return out if out else dict((k, np.array(v)) for k, v in state.items())
 
 
 def _convert_resnet_block(sd: Mapping, prefix: str, has_res_conv: bool) -> Dict:

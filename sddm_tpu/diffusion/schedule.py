@@ -123,15 +123,13 @@ class DiffusionSchedule:
         betas = np.zeros(T + 1, dtype=np.float64)
         if schedule == "linear":
             betas[1:] = np.linspace(linear_start, linear_end, T, dtype=np.float64)
-            alphas = 1.0 - betas
-            alpha_bar = np.cumprod(alphas)
+            alpha_bar = np.cumprod(1.0 - betas)
         elif schedule == "quad":
             betas[1:] = (
                 np.linspace(linear_start**0.5, linear_end**0.5, T, dtype=np.float64)
                 ** 2
             )
-            alphas = 1.0 - betas
-            alpha_bar = np.cumprod(alphas)
+            alpha_bar = np.cumprod(1.0 - betas)
         elif schedule == "cosine":
             cosine_s = 0.008
             timesteps = np.arange(T + 1, dtype=np.float64) / T + cosine_s
@@ -142,83 +140,13 @@ class DiffusionSchedule:
             alpha_bar = f / f[0]
             betas[1:] = 1.0 - alpha_bar[1:] / alpha_bar[:-1]
             betas = np.clip(betas, a_min=None, a_max=0.999)
-            alphas = 1.0 - betas
         else:
             raise NotImplementedError(schedule)
 
-        sqrt_alpha_bar = np.sqrt(alpha_bar)
-
-        # ---- p coefficients (model/diffusion.py:98-117) ----
-        sigma = np.zeros_like(betas)
-        sigma[1:] = (
-            (1.0 - alpha_bar[:-1]) / (1.0 - alpha_bar[1:]) * betas[1:]
-        ) ** 0.5
-        predicted_noise_coeff = np.zeros_like(betas)
-        predicted_noise_coeff[1:] = betas[1:] / np.sqrt(1.0 - alpha_bar[1:])
-
-        supportive_gamma = np.zeros_like(betas)
-        supportive_gamma[1] = 0.2
-        supportive_gamma[2:] = sigma[2:]
-        supportive_sigma_hat = np.zeros_like(betas)
-        supportive_sigma_hat[1:] = sigma[1:] - supportive_gamma[1:] / np.sqrt(
-            alphas[1:]
-        )
-
-        # ---- conditional coefficients (model/diffusion.py:119-161) ----
-        m = np.sqrt((1.0 - alpha_bar) / sqrt_alpha_bar)
-        delta = (1.0 - alpha_bar) - m**2 * alpha_bar
-
-        one_minus_m_ratio = (1.0 - m[1:]) / (1.0 - m[:-1])
-        alpha_t_delta_t_1 = alphas[1:] * delta[:-1]
-        delta_t_given_t_1 = delta[1:] - one_minus_m_ratio**2 * alpha_t_delta_t_1
-        sqrt_alphas = np.sqrt(alphas[1:])
-
-        c_xt = np.zeros_like(betas)
-        c_xt[1:] = one_minus_m_ratio * delta[:-1] / delta[1:] * sqrt_alphas + (
-            1.0 - m[:-1]
-        ) * (delta_t_given_t_1 / delta[1:]) * (1.0 / sqrt_alphas)
-
-        c_yt = np.zeros_like(betas)
-        c_yt[1:] = (
-            (m[:-1] * delta[1:] - m[1:] * one_minus_m_ratio * alpha_t_delta_t_1)
-            * sqrt_alpha_bar[:-1]
-            / delta[1:]
-        )
-
-        c_epst = np.zeros_like(betas)
-        c_epst[1:] = (
-            (1.0 - m[:-1])
-            * delta_t_given_t_1
-            / delta[1:]
-            * np.sqrt(1.0 - alpha_bar[1:])
-            / sqrt_alphas
-        )
-
-        delta_estimated = np.zeros_like(betas)
-        delta_estimated[1:] = delta_t_given_t_1 * delta[:-1] / delta[1:]
-
+        tables = _tables_from_alpha_bar(alpha_bar, betas=betas)
         as_jnp = lambda x: jnp.asarray(x, dtype=dtype)
-        # delta_estimated can be (slightly) negative at degenerate t — the
-        # reference's sqrt produces NaN there too; keep the values, skip the
-        # host warning
-        with np.errstate(invalid="ignore"):
-            sqrt_delta = np.sqrt(delta)
-            sqrt_delta_est = np.sqrt(delta_estimated)
         return cls(
-            betas=as_jnp(betas),
-            alphas=as_jnp(alphas),
-            alpha_bar=as_jnp(alpha_bar),
-            sqrt_alpha_bar=as_jnp(sqrt_alpha_bar),
-            sigma=as_jnp(sigma),
-            predicted_noise_coeff=as_jnp(predicted_noise_coeff),
-            supportive_gamma=as_jnp(supportive_gamma),
-            supportive_sigma_hat=as_jnp(supportive_sigma_hat),
-            m=as_jnp(m),
-            sqrt_delta=as_jnp(sqrt_delta),
-            c_xt=as_jnp(c_xt),
-            c_yt=as_jnp(c_yt),
-            c_epst=as_jnp(c_epst),
-            sqrt_delta_estimated=as_jnp(sqrt_delta_est),
+            **{k: as_jnp(v) for k, v in tables.items()},
             num_timesteps=T,
         )
 
@@ -228,12 +156,19 @@ def broadcast_to_batch(values: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return values.reshape(values.shape[:1] + (1,) * (ndim - 1))
 
 
-def _tables_from_alpha_bar(alpha_bar: np.ndarray) -> dict:
+def _tables_from_alpha_bar(alpha_bar: np.ndarray,
+                           betas: np.ndarray | None = None) -> dict:
     """Derive every coefficient table from a (T+1)-length alpha_bar sequence
-    (index 0 == 1.0).  Shared by ``create`` and ``subsample`` — the closed
-    forms are exactly model/diffusion.py:98-161."""
-    betas = np.zeros_like(alpha_bar)
-    betas[1:] = 1.0 - alpha_bar[1:] / alpha_bar[:-1]
+    (index 0 == 1.0).  Shared by ``create`` and ``subsample_schedule`` — the
+    closed forms are exactly model/diffusion.py:98-161.
+
+    ``betas`` may be supplied when the schedule defines it directly (linear /
+    quad: the linspace itself; cosine: the clipped ratio) so the table is
+    bit-identical to the reference rather than re-derived from alpha_bar
+    ratios (which differ in the last float64 ulp)."""
+    if betas is None:
+        betas = np.zeros_like(alpha_bar)
+        betas[1:] = 1.0 - alpha_bar[1:] / alpha_bar[:-1]
     alphas = 1.0 - betas
     sqrt_alpha_bar = np.sqrt(alpha_bar)
 

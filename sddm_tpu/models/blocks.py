@@ -13,6 +13,7 @@ TPU-first conventions:
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax
@@ -26,6 +27,61 @@ Dtype = Any
 def swish(x: jnp.ndarray) -> jnp.ndarray:
     """x * sigmoid(x) (reference model/UNetModified2.py:44-46)."""
     return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch-default initialization.
+#
+# The reference trains every module with torch's layer defaults:
+# kaiming_uniform(a=sqrt(5)) kernels (limit = 1/sqrt(fan_in)) and
+# U(+-1/sqrt(fan_in)) biases.  Flax's default (lecun_normal kernels, zero
+# biases) has 3x larger kernel variance — at flagship depth (5 levels,
+# 32 groups) that initialization drives the net into a predict-zero plateau
+# the optimizer escapes only very slowly, while the torch init trains
+# immediately (verified empirically on the synth corpus, round 2).
+# ---------------------------------------------------------------------------
+
+# limit = sqrt(3 * scale / fan_in) == 1/sqrt(fan_in) at scale 1/3, which is
+# exactly torch's kaiming_uniform(a=sqrt(5)) for conv/linear weights.
+TORCH_KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                     "uniform")
+
+
+def _uniform_bias(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_conv(in_ch: int, features: int, kernel_size, **kw) -> nn.Conv:
+    """``nn.Conv`` with torch.nn.Conv{1,2}d's default initialization.
+    ``in_ch`` is the input's channel count (x.shape[-1] at the call site)."""
+    k = kernel_size if isinstance(kernel_size, (tuple, list)) else (kernel_size,)
+    fan_in = in_ch * int(np.prod(k))
+    return nn.Conv(features, kernel_size, kernel_init=TORCH_KERNEL_INIT,
+                   bias_init=_uniform_bias(fan_in), **kw)
+
+
+def torch_conv_transpose(out_ch: int, features: int, kernel_size, **kw
+                         ) -> nn.ConvTranspose:
+    """``nn.ConvTranspose`` with torch.nn.ConvTranspose{1,2}d defaults.
+    torch computes fan_in from weight dim 1 — the OUTPUT channels for
+    transposed convs — so the limit uses out_ch * prod(kernel)."""
+    k = kernel_size if isinstance(kernel_size, (tuple, list)) else (kernel_size,)
+    fan_in = out_ch * int(np.prod(k))
+    bound_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_out",
+                                                  "uniform")
+    return nn.ConvTranspose(features, kernel_size, kernel_init=bound_init,
+                            bias_init=_uniform_bias(fan_in), **kw)
+
+
+def torch_dense(in_features: int, features: int, **kw) -> nn.Dense:
+    """``nn.Dense`` with torch.nn.Linear's default initialization."""
+    return nn.Dense(features, kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=_uniform_bias(in_features), **kw)
 
 
 class PositionalEncoding(nn.Module):
@@ -65,7 +121,7 @@ class FeatureWiseAffine(nn.Module):
     def __call__(self, x: jnp.ndarray, noise_embed: jnp.ndarray) -> jnp.ndarray:
         batch = x.shape[0]
         n_out = self.out_channels * (2 if self.use_affine_level else 1)
-        h = nn.Dense(n_out, dtype=x.dtype)(noise_embed)
+        h = torch_dense(noise_embed.shape[-1], n_out, dtype=x.dtype)(noise_embed)
         h = h.reshape((batch,) + (1,) * (x.ndim - 2) + (-1,))
         if self.use_affine_level:
             gamma, beta = jnp.split(h, 2, axis=-1)
@@ -87,7 +143,8 @@ class Block(nn.Module):
         h = swish(h).astype(x.dtype)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
-        return nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=x.dtype)(h)
+        return torch_conv(x.shape[-1], self.dim_out, (3, 3), padding="SAME",
+                          dtype=x.dtype)(h)
 
 
 class ResnetBlock(nn.Module):
@@ -112,7 +169,7 @@ class ResnetBlock(nn.Module):
             h, deterministic
         )
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), dtype=x.dtype)(x)
+            x = torch_conv(x.shape[-1], self.dim_out, (1, 1), dtype=x.dtype)(x)
         return h + x
 
 
@@ -127,8 +184,8 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(
-            self.dim, (3, 3), strides=(2, 2),
+        return torch_conv(
+            x.shape[-1], self.dim, (3, 3), strides=(2, 2),
             padding=((1, 1), (1, 1)), dtype=x.dtype,
         )(x)
 
@@ -142,7 +199,8 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         up = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.dim, (3, 3), padding="SAME", dtype=x.dtype)(up)
+        return torch_conv(c, self.dim, (3, 3), padding="SAME",
+                          dtype=x.dtype)(up)
 
 
 class SelfAttention2D(nn.Module):
@@ -165,7 +223,7 @@ class SelfAttention2D(nn.Module):
         head_dim = c // self.n_head
         norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(x)
         norm = norm.astype(x.dtype)
-        qkv = nn.Conv(c * 3, (1, 1), use_bias=False, dtype=x.dtype)(norm)
+        qkv = torch_conv(c, c * 3, (1, 1), use_bias=False, dtype=x.dtype)(norm)
         qkv = qkv.reshape(b, h * w, self.n_head, head_dim, 3)
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]  # [B, HW, n, d]
         attn = jnp.einsum("bsnd,btnd->bnst", q, k) / jnp.sqrt(
@@ -173,7 +231,7 @@ class SelfAttention2D(nn.Module):
         )
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bnst,btnd->bsnd", attn, v).reshape(b, h, w, c)
-        proj = nn.Conv(c, (1, 1), dtype=x.dtype)(out)
+        proj = torch_conv(c, c, (1, 1), dtype=x.dtype)(out)
         return x + proj
 
 
@@ -210,7 +268,7 @@ class NoiseLevelMLP(nn.Module):
     @nn.compact
     def __call__(self, diffusion_step: jnp.ndarray) -> jnp.ndarray:
         t = PositionalEncoding(self.channel)(diffusion_step)
-        t = nn.Dense(self.channel * 4, dtype=t.dtype)(t)
+        t = torch_dense(self.channel, self.channel * 4, dtype=t.dtype)(t)
         t = swish(t)
-        t = nn.Dense(self.channel, dtype=t.dtype)(t)
+        t = torch_dense(self.channel * 4, self.channel, dtype=t.dtype)(t)
         return swish(t)

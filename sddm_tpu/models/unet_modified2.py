@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.framing import frame_signal, overlap_add
-from .blocks import Block, Downsample, NoiseLevelMLP, ResnetBlock, Upsample
+from .blocks import (Block, Downsample, NoiseLevelMLP, ResnetBlock, Upsample,
+                     torch_conv)
 
 
 class UNetModified2(nn.Module):
@@ -59,7 +60,8 @@ class UNetModified2(nn.Module):
         )  # [B, inner_channel]
 
         feats = []
-        h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        h = torch_conv(self.in_channel, self.inner_channel, (3, 3),
+                       padding="SAME", dtype=self.dtype)(h)
         feats.append(h)
         for mult in self.channel_mults:
             n_out = self.inner_channel * mult
