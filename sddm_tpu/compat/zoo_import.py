@@ -1,0 +1,274 @@
+"""Import reference PyTorch checkpoints for the denoiser zoo beyond the
+flagship: DiffWave, WaveGrad, TSTNN — three distinct architecture families
+(dilated-conv vocoder / FiLM+resample / dual-path transformer with GRU FFN).
+
+Layout conversions (torch -> flax):
+  - Conv1d  [O, I, k]        -> [k, I, O]
+  - Conv2d  [O, I, kh, kw]   -> [kh, kw, I, O]
+  - ConvTranspose2d [I, O, kh, kw] -> [kh, kw, I, O] with SPATIAL FLIP
+    (flax ConvTranspose runs a fractionally-strided conv with the kernel
+    as-is; torch's transposed conv correlates with the flipped kernel)
+  - Linear  [O, I]           -> [I, O]
+  - MultiheadAttention in_proj [3E, E] -> per-head q/k/v kernels
+    [E, heads, head_dim]; out_proj [E, E] -> [heads, head_dim, E]
+  - GRU (gate order r,z,n): weight_ih [3H, E] -> ir/iz/in kernels [E, H];
+    weight_hh [3H, H] -> hr/hz/hn kernels; b_hr/b_hz are folded into
+    ir/iz biases (flax's recurrent r/z denses are bias-free; the math is
+    identical because the two linears are summed).
+
+Used by tests/test_zoo_import.py to prove elementwise forward parity vs the
+reference implementations (reference model/diffwave.py:111-155,
+model/wavegrad.py:140-179, model/tstnn.py:216-299).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _np(v):
+    # copy: torch tensors expose aligned numpy views; without the copy the
+    # imported params would alias live torch memory (see torch_import.py)
+    return np.array(v)
+
+
+def _conv1d(sd, name):
+    w = _np(sd[f"{name}.weight"])
+    return {"kernel": w.transpose(2, 1, 0), "bias": _np(sd[f"{name}.bias"])}
+
+
+def _conv2d(sd, name):
+    w = _np(sd[f"{name}.weight"])
+    return {"kernel": w.transpose(2, 3, 1, 0), "bias": _np(sd[f"{name}.bias"])}
+
+
+def _convT2d(sd, name):
+    w = _np(sd[f"{name}.weight"])  # [I, O, kh, kw]
+    k = w.transpose(2, 3, 0, 1)[::-1, ::-1]  # spatial flip, keep [I, O]
+    return {"kernel": np.ascontiguousarray(k),
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _dense(sd, name):
+    w = _np(sd[f"{name}.weight"])
+    return {"kernel": w.transpose(1, 0), "bias": _np(sd[f"{name}.bias"])}
+
+
+def _lnorm(sd, name):
+    return {"scale": _np(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _prelu(sd, name):
+    return {"alpha": _np(sd[f"{name}.weight"])}
+
+
+# ---------------------------------------------------------------------------
+# DiffWave (reference model/diffwave.py:111-155)
+# ---------------------------------------------------------------------------
+
+def import_diffwave_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    residual_layers: int = 30,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference DiffWave state_dict to flax params for
+    :class:`sddm_tpu.models.DiffWave`."""
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+
+    params: Dict = {
+        "Conv_0": _conv1d(sd, "input_projection"),
+        "DiffusionEmbedding_0": {
+            "Dense_0": _dense(sd, "diffusion_embedding.projection1"),
+            "Dense_1": _dense(sd, "diffusion_embedding.projection2"),
+        },
+        "SpectrogramUpsampler_0": {
+            "ConvTranspose_0": _convT2d(sd, "spectrogram_upsampler.conv1"),
+            "ConvTranspose_1": _convT2d(sd, "spectrogram_upsampler.conv2"),
+        },
+        "Conv_1": _conv1d(sd, "skip_projection"),
+        "Conv_2": _conv1d(sd, "output_projection"),
+    }
+    for i in range(residual_layers):
+        p = f"residual_layers.{i}"
+        params[f"ResidualBlock_{i}"] = {
+            "Dense_0": _dense(sd, f"{p}.diffusion_projection"),
+            "Conv_0": _conv1d(sd, f"{p}.dilated_conv"),
+            "Conv_1": _conv1d(sd, f"{p}.conditioner_projection"),
+            "Conv_2": _conv1d(sd, f"{p}.output_residual"),
+            "Conv_3": _conv1d(sd, f"{p}.output_projection"),
+        }
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# WaveGrad (reference model/wavegrad.py:140-179)
+# ---------------------------------------------------------------------------
+
+def _film(sd, name):
+    return {"Conv_0": _conv1d(sd, f"{name}.input_conv"),
+            "Conv_1": _conv1d(sd, f"{name}.output_conv")}
+
+
+def _dblock(sd, name):
+    return {
+        "Conv_0": _conv1d(sd, f"{name}.residual_dense"),
+        "Conv_1": _conv1d(sd, f"{name}.conv.0"),
+        "Conv_2": _conv1d(sd, f"{name}.conv.1"),
+        "Conv_3": _conv1d(sd, f"{name}.conv.2"),
+    }
+
+
+def _ublock(sd, name):
+    return {
+        "Conv_0": _conv1d(sd, f"{name}.block1"),
+        "Conv_1": _conv1d(sd, f"{name}.block2.0"),
+        "Conv_2": _conv1d(sd, f"{name}.block2.1"),
+        "Conv_3": _conv1d(sd, f"{name}.block3.0"),
+        "Conv_4": _conv1d(sd, f"{name}.block3.1"),
+    }
+
+
+def import_wavegrad_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference WaveGrad state_dict to flax params for
+    :class:`sddm_tpu.models.WaveGrad` (fixed topology: 4 DBlocks, 5 FiLMs,
+    5 UBlocks, wavegrad.py:140-165)."""
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+
+    params: Dict = {
+        "Conv_0": _conv1d(sd, "downsample.0"),
+        "Conv_1": _conv1d(sd, "first_conv"),
+        "Conv_2": _conv1d(sd, "last_conv"),
+    }
+    for i in range(5):
+        params[f"FiLM_{i}"] = _film(sd, f"film.{i}")
+        params[f"UBlock_{i}"] = _ublock(sd, f"upsample.{i}")
+    for i in range(4):
+        params[f"DBlock_{i}"] = _dblock(sd, f"downsample.{i + 1}")
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# TSTNN (reference model/tstnn.py:216-299)
+# ---------------------------------------------------------------------------
+
+def _mha(sd, name, nhead):
+    w = _np(sd[f"{name}.in_proj_weight"])  # [3E, E]
+    b = _np(sd[f"{name}.in_proj_bias"])
+    e = w.shape[1]
+    hd = e // nhead
+
+    def proj(idx):
+        wi = w[idx * e:(idx + 1) * e]  # [E, E], applied as x @ wi.T
+        bi = b[idx * e:(idx + 1) * e]
+        return {"kernel": wi.T.reshape(e, nhead, hd),
+                "bias": bi.reshape(nhead, hd)}
+
+    ow = _np(sd[f"{name}.out_proj.weight"])  # [E, E]
+    return {
+        "query": proj(0), "key": proj(1), "value": proj(2),
+        "out": {"kernel": ow.T.reshape(nhead, hd, e),
+                "bias": _np(sd[f"{name}.out_proj.bias"])},
+    }
+
+
+def _gru_cell(sd, name, suffix=""):
+    """One direction of a torch GRU layer -> flax GRUCell params.
+    torch gate order is (r, z, n); b_hr/b_hz fold into ir/iz biases."""
+    w_ih = _np(sd[f"{name}.weight_ih_l0{suffix}"])  # [3H, E]
+    w_hh = _np(sd[f"{name}.weight_hh_l0{suffix}"])  # [3H, H]
+    b_ih = _np(sd[f"{name}.bias_ih_l0{suffix}"])
+    b_hh = _np(sd[f"{name}.bias_hh_l0{suffix}"])
+    h = w_hh.shape[1]
+    wir, wiz, win = w_ih[:h], w_ih[h:2 * h], w_ih[2 * h:]
+    whr, whz, whn = w_hh[:h], w_hh[h:2 * h], w_hh[2 * h:]
+    bir, biz, bin_ = b_ih[:h], b_ih[h:2 * h], b_ih[2 * h:]
+    bhr, bhz, bhn = b_hh[:h], b_hh[h:2 * h], b_hh[2 * h:]
+    return {
+        "ir": {"kernel": wir.T, "bias": bir + bhr},
+        "iz": {"kernel": wiz.T, "bias": biz + bhz},
+        "in": {"kernel": win.T, "bias": bin_},
+        "hr": {"kernel": whr.T},
+        "hz": {"kernel": whz.T},
+        "hn": {"kernel": whn.T, "bias": bhn},
+    }
+
+
+def _encoder_layer(sd, name, nhead=4):
+    return {
+        "MultiHeadDotProductAttention_0": _mha(sd, f"{name}.self_attn", nhead),
+        "LayerNormLastAxis_0": _lnorm(sd, f"{name}.norm1"),
+        "LayerNormLastAxis_1": _lnorm(sd, f"{name}.norm2"),
+        "GRUFeedForward_0": {
+            "GRUCell_0": _gru_cell(sd, f"{name}.gru"),
+            "GRUCell_1": _gru_cell(sd, f"{name}.gru", "_reverse"),
+            "Dense_0": _dense(sd, f"{name}.linear2"),
+        },
+    }
+
+
+def _dense_block(sd, name, depth=4):
+    out = {}
+    for i in range(depth):
+        out[f"Conv_{i}"] = _conv2d(sd, f"{name}.conv{i + 1}")
+        out[f"LayerNormLastAxis_{i}"] = _lnorm(sd, f"{name}.norm{i + 1}")
+        out[f"PReLU_{i}"] = _prelu(sd, f"{name}.prelu{i + 1}")
+    return out
+
+
+def import_tstnn_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    num_layers: int = 4,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference TSTNN state_dict to flax params for
+    :class:`sddm_tpu.models.TSTNN`."""
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+
+    dual: Dict = {
+        "Conv_0": _conv2d(sd, "dual_transformer.input.0"),
+        "PReLU_0": _prelu(sd, "dual_transformer.input.1"),
+        "PReLU_1": _prelu(sd, "dual_transformer.output.0"),
+        "Conv_1": _conv2d(sd, "dual_transformer.output.1"),
+    }
+    for i in range(num_layers):
+        dual[f"TransformerEncoderLayerGRU_{2 * i}"] = _encoder_layer(
+            sd, f"dual_transformer.row_trans.{i}"
+        )
+        dual[f"TransformerEncoderLayerGRU_{2 * i + 1}"] = _encoder_layer(
+            sd, f"dual_transformer.col_trans.{i}"
+        )
+        dual[f"GroupNorm1_{2 * i}"] = _lnorm(
+            sd, f"dual_transformer.row_norm.{i}"
+        )
+        dual[f"GroupNorm1_{2 * i + 1}"] = _lnorm(
+            sd, f"dual_transformer.col_norm.{i}"
+        )
+
+    params: Dict = {
+        "Conv_0": _conv2d(sd, "inp_conv"),
+        "LayerNormLastAxis_0": _lnorm(sd, "inp_norm"),
+        "PReLU_0": _prelu(sd, "inp_prelu"),
+        "DenseBlock_0": _dense_block(sd, "enc_dense1"),
+        "Conv_1": _conv2d(sd, "enc_conv1"),
+        "LayerNormLastAxis_1": _lnorm(sd, "enc_norm1"),
+        "PReLU_1": _prelu(sd, "enc_prelu1"),
+        "DualTransformer_0": dual,
+        "Conv_2": _conv2d(sd, "output1.0"),
+        "Conv_3": _conv2d(sd, "output2.0"),
+        "Conv_4": _conv2d(sd, "maskconv"),
+        "DenseBlock_1": _dense_block(sd, "dec_dense1"),
+        "SPConvTranspose2d_0": {"Conv_0": _conv2d(sd, "dec_conv1.conv")},
+        "LayerNormLastAxis_2": _lnorm(sd, "dec_norm1"),
+        "PReLU_2": _prelu(sd, "dec_prelu1"),
+        "Conv_5": _conv2d(sd, "out_conv"),
+    }
+    return {"params": params}

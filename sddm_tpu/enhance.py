@@ -14,14 +14,30 @@ multi-chip batch parallelism.
 
 from __future__ import annotations
 
+import os
+import threading
+import time
 from math import ceil
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .parallel.mesh import make_mesh, shard_batch
+
+
+def enable_compile_cache(path: Optional[str] = None) -> str:
+    """Point JAX's persistent compilation cache at ``path`` (default:
+    ``.jax_cache`` under the repo root, or $SDDM_COMPILE_CACHE).  Fresh
+    flagship-size sampler programs can take minutes to compile on a remote
+    relay; the cache makes every later process start instantly."""
+    path = path or os.environ.get("SDDM_COMPILE_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path
 
 
 class Enhancer:
@@ -33,10 +49,18 @@ class Enhancer:
         batch_rows: int = 16,
         mesh=None,
         seed: int = 0,
+        warmup: bool = False,
+        warmup_timeout_s: Optional[float] = None,
     ):
         """``model``: an SDDM-style composite with ``infer(params, key, cond)``;
         ``num_samples``: the chunk length the model was trained on;
-        ``batch_rows``: static chunk-row count per compiled call."""
+        ``batch_rows``: static chunk-row count per compiled call.
+
+        ``warmup=True`` compiles the exact (batch_rows, 1, num_samples)
+        sampler program at construction (persisted via the JAX compilation
+        cache when enabled — see :func:`enable_compile_cache`), so the first
+        request never pays — or wedges on — a fresh compile
+        (PERFORMANCE.md "Known issue")."""
         self.model = model
         self.params = params
         self.num_samples = num_samples
@@ -44,6 +68,50 @@ class Enhancer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.key = jax.random.PRNGKey(seed)
         self._infer = jax.jit(model.infer)
+        if warmup:
+            self.warmup(timeout_s=warmup_timeout_s)
+
+    def warmup(self, timeout_s: Optional[float] = None) -> float:
+        """Compile+run the sampler once on zeros at the serving shape.
+
+        Returns the wall-clock seconds spent.  With ``timeout_s`` set, raises
+        ``TimeoutError`` with a diagnostic if compilation does not finish in
+        time (the known failure mode is a remote-compile service wedge on a
+        fresh program shape) — the caller can fall back to a batch size whose
+        program is already in the persistent cache."""
+        cond = jnp.zeros((self.batch_rows, 1, self.num_samples), jnp.float32)
+        if self.batch_rows % self.mesh.devices.size == 0:
+            cond = shard_batch(cond, self.mesh)
+        start = time.perf_counter()
+        if timeout_s is None:
+            self._infer(self.params, self.key, cond).block_until_ready()
+            return time.perf_counter() - start
+
+        done = threading.Event()
+        err: list = []
+
+        def _compile():
+            try:
+                self._infer(self.params, self.key, cond).block_until_ready()
+            except Exception as e:  # surfaced below
+                err.append(e)
+            finally:
+                done.set()
+
+        t = threading.Thread(target=_compile, daemon=True)
+        t.start()
+        if not done.wait(timeout_s):
+            raise TimeoutError(
+                f"Enhancer.warmup: sampler compile for shape "
+                f"({self.batch_rows}, 1, {self.num_samples}) exceeded "
+                f"{timeout_s:.0f}s. This is the known remote-compile wedge "
+                f"on fresh program shapes (PERFORMANCE.md). Use a batch_rows "
+                f"whose program is already in the persistent compile cache, "
+                f"or retry with a longer timeout."
+            )
+        if err:
+            raise err[0]
+        return time.perf_counter() - start
 
     def _chunk(self, audio: np.ndarray) -> np.ndarray:
         """[T] -> [n_chunk, 1, num_samples] zero-padded."""
@@ -95,8 +163,13 @@ def load_enhancer(
     config: dict,
     batch_rows: int = 16,
     mesh=None,
+    warmup: bool = False,
+    warmup_timeout_s=None,
 ) -> Enhancer:
-    """Build an Enhancer from a run-dir checkpoint + its config dict."""
+    """Build an Enhancer from a run-dir checkpoint + its config dict.
+    Enables the persistent compile cache so warmed-up programs survive
+    process restarts."""
+    enable_compile_cache()
     from .cli import build_arch, build_diffusion, build_network
     from .train.checkpoints import load_checkpoint
 
@@ -113,5 +186,6 @@ def load_enhancer(
     )
     ckpt = load_checkpoint(checkpoint_path, params_template=init_params)
     return Enhancer(
-        model, ckpt["params"], config["num_samples"], batch_rows, mesh
+        model, ckpt["params"], config["num_samples"], batch_rows, mesh,
+        warmup=warmup, warmup_timeout_s=warmup_timeout_s,
     )

@@ -131,15 +131,24 @@ class FeatureWiseAffine(nn.Module):
 
 class Block(nn.Module):
     """GroupNorm -> Swish -> Dropout -> 3x3 Conv
-    (reference model/UNetModified2.py:113-124)."""
+    (reference model/UNetModified2.py:113-124).
+
+    ``norm_dtype``: compute dtype for the GroupNorm's normalize/affine
+    arithmetic.  Mean/var statistics are ALWAYS f32 (flax upcasts half
+    dtypes internally); ``None`` inherits the input dtype (bf16 in mixed
+    precision), which removes the f32 convert round-trips around every
+    norm — the dominant non-conv cost on TPU (PERFORMANCE.md).  f32-mode
+    numerics are identical either way."""
 
     dim_out: int
     groups: int = 32
     dropout: float = 0.0
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.norm_dtype)(x)
         h = swish(h).astype(x.dtype)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
@@ -155,6 +164,7 @@ class ResnetBlock(nn.Module):
     dropout: float = 0.0
     norm_groups: int = 32
     use_affine_level: bool = False
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -163,9 +173,11 @@ class ResnetBlock(nn.Module):
         time_emb: jnp.ndarray,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        h = Block(self.dim_out, groups=self.norm_groups)(x, deterministic)
+        h = Block(self.dim_out, groups=self.norm_groups,
+                  norm_dtype=self.norm_dtype)(x, deterministic)
         h = FeatureWiseAffine(self.dim_out, self.use_affine_level)(h, time_emb)
-        h = Block(self.dim_out, groups=self.norm_groups, dropout=self.dropout)(
+        h = Block(self.dim_out, groups=self.norm_groups, dropout=self.dropout,
+                  norm_dtype=self.norm_dtype)(
             h, deterministic
         )
         if x.shape[-1] != self.dim_out:

@@ -139,7 +139,9 @@ class DualTransformer(nn.Module):
         b, n, f, _c = x.shape
         d = self.input_size // 2
         h = nn.Conv(d, (1, 1), dtype=x.dtype)(x)
-        h = PReLU(d)(h)
+        # reference uses nn.PReLU() here — ONE shared slope, not per-channel
+        # (tstnn.py:122-125, 139-141)
+        h = PReLU(1)(h)
 
         for _ in range(self.num_layers):
             # row: sequence along F for each of b*n rows
@@ -158,7 +160,7 @@ class DualTransformer(nn.Module):
             col_out = GroupNorm1(d)(jnp.swapaxes(col_out, 1, 2))
             h = h + col_out
 
-        h = PReLU(d)(h)
+        h = PReLU(1)(h)
         return nn.Conv(self.output_size, (1, 1), dtype=x.dtype)(h)
 
 
@@ -179,12 +181,11 @@ class SPConvTranspose2d(nn.Module):
             dtype=x.dtype,
         )(x)
         b, h, w, _ = out.shape
-        # channel index = ri * out_channels + c  (torch view semantics)
+        # torch view semantics (tstnn.py:176-181): conv channel o = ri*C + c
+        # lands at (channel c, width w*r + ri) — the r phases INTERLEAVE along
+        # width.  Row-major reshape of (w, r) gives exactly w*r + ri.
         out = out.reshape(b, h, w, self.r, self.out_channels)
-        out = jnp.swapaxes(out, 2, 3).reshape(
-            b, h, w * self.r, self.out_channels
-        )
-        return out
+        return out.reshape(b, h, w * self.r, self.out_channels)
 
 
 class DenseBlock(nn.Module):

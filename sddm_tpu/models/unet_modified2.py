@@ -36,6 +36,9 @@ class UNetModified2(nn.Module):
     segment_len: int = 128
     segment_stride: int = 64
     dtype: Any = jnp.float32
+    # GroupNorm normalize/affine compute dtype; None inherits ``dtype``
+    # (stats are always f32 — see blocks.Block.norm_dtype).
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -67,21 +70,24 @@ class UNetModified2(nn.Module):
             n_out = self.inner_channel * mult
             for _ in range(self.res_blocks):
                 h = ResnetBlock(
-                    n_out, dropout=self.dropout, norm_groups=self.norm_groups
+                    n_out, dropout=self.dropout, norm_groups=self.norm_groups,
+                    norm_dtype=self.norm_dtype,
                 )(h, t_emb, deterministic)
                 feats.append(h)
             h = Downsample(n_out)(h)
             feats.append(h)
 
         h = ResnetBlock(
-            h.shape[-1], dropout=self.dropout, norm_groups=self.norm_groups
+            h.shape[-1], dropout=self.dropout, norm_groups=self.norm_groups,
+            norm_dtype=self.norm_dtype,
         )(h, t_emb, deterministic)
 
         num_mults = len(self.channel_mults)
         for ind in reversed(range(num_mults)):
             n_ch = self.inner_channel * self.channel_mults[ind]
             h = ResnetBlock(
-                n_ch, dropout=self.dropout, norm_groups=self.norm_groups
+                n_ch, dropout=self.dropout, norm_groups=self.norm_groups,
+                norm_dtype=self.norm_dtype,
             )(jnp.concatenate([h, feats.pop()], axis=-1), t_emb, deterministic)
             h = Upsample(n_ch)(h)
             n_out = (
@@ -91,10 +97,12 @@ class UNetModified2(nn.Module):
             )
             for _ in range(self.res_blocks):
                 h = ResnetBlock(
-                    n_out, dropout=self.dropout, norm_groups=self.norm_groups
+                    n_out, dropout=self.dropout, norm_groups=self.norm_groups,
+                    norm_dtype=self.norm_dtype,
                 )(jnp.concatenate([h, feats.pop()], axis=-1), t_emb, deterministic)
 
-        out = Block(self.out_channel, groups=self.norm_groups)(h, deterministic)
+        out = Block(self.out_channel, groups=self.norm_groups,
+                    norm_dtype=self.norm_dtype)(h, deterministic)
         # [B, N, F, 1] -> [B, 1, N, F] -> overlap-add -> [B, 1, T]
         out = jnp.moveaxis(out, -1, 1).astype(in_dtype)
         return overlap_add(out, self.num_samples, self.segment_stride)

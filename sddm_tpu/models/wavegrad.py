@@ -9,7 +9,7 @@ continuous-noise-level FiLM conditioning (:20-71), DBlock downsampling
 ``DenoiseWaveGrad3`` (:307-353, concat input + extra bottleneck DBlock).
 
 TPU-first: NLC layout ``[B, T, C]`` so the 1-D convs hit the MXU as batched
-matmuls; nearest resampling via jax.image.resize.
+matmuls; torch-exact nearest resampling via strided slice / repeat.
 """
 
 from __future__ import annotations
@@ -17,7 +17,6 @@ from __future__ import annotations
 import math
 from typing import Any, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -39,9 +38,22 @@ def _conv1d(features, kernel, dilation=1, init="orthogonal", dtype=jnp.float32):
 
 
 def _resize_time(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Nearest-neighbor resample along the time axis of [B, T, C]."""
-    b, _, c = x.shape
-    return jax.image.resize(x, (b, size, c), method="nearest")
+    """Nearest-neighbor resample along the time axis of [B, T, C].
+
+    Matches torch ``F.interpolate(mode='nearest')`` exactly: source index is
+    ``floor(i * T / size)`` (torch uses asymmetric/floor coordinates, NOT
+    half-pixel centers — jax.image.resize's nearest picks different samples
+    when downsampling).  Integer factors lower to a strided slice (down) or
+    broadcast-repeat (up) — no gather."""
+    t = x.shape[1]
+    if size == t:
+        return x
+    if size % t == 0:
+        return jnp.repeat(x, size // t, axis=1)
+    if t % size == 0:
+        return x[:, :: t // size, :]
+    idx = (np.arange(size) * t) // size
+    return x[:, idx, :]
 
 
 class WaveGradPositionalEncoding(nn.Module):

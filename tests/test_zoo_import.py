@@ -1,0 +1,163 @@
+"""Torch-checkpoint import parity for three more architecture families
+(VERDICT #4): DiffWave (dilated-conv vocoder), WaveGrad (FiLM + resample),
+TSTNN (dual-path transformer with GRU FFN).  With imported weights both
+implementations must match elementwise."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+torch = pytest.importorskip("torch")
+if not REF.exists():
+    pytest.skip("reference checkout not available", allow_module_level=True)
+sys.path.insert(0, str(REF))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sddm_tpu.compat.zoo_import import (  # noqa: E402
+    import_diffwave_state,
+    import_tstnn_state,
+    import_wavegrad_state,
+)
+
+
+def _count(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
+
+
+class TestDiffWaveImport:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.diffwave import DiffWave as RefDiffWave
+
+        from sddm_tpu.models import DiffWave
+
+        torch.manual_seed(0)
+        ref = RefDiffWave(
+            num_samples=0, num_timesteps=10, freq_bins=8,
+            residual_channels=8, residual_layers=3, dilation_cycle_length=2,
+        ).eval()
+        ours = DiffWave(freq_bins=8, residual_channels=8, residual_layers=3,
+                        dilation_cycle_length=2)
+        params = import_diffwave_state(ref.state_dict(), residual_layers=3,
+                                       prefix="")
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(0)
+        frames = 4
+        t_len = frames * 256  # upsampler: 2 stages of 16x
+        spec = rng.uniform(-1, 1, (2, 8, frames)).astype(np.float32)
+        audio = rng.uniform(-0.5, 0.5, (2, 1, t_len)).astype(np.float32)
+        step = np.full((2, 1, 1), 7.0, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(spec), torch.from_numpy(audio),
+                torch.from_numpy(step),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(spec), jnp.asarray(audio),
+                       jnp.asarray(step))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=1e-4)
+
+
+class TestWaveGradImport:
+    """The reference WaveGrad has a fixed full-size topology (15M params,
+    wavegrad.py:140-165) — run one short-audio forward through both."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.wavegrad import WaveGrad as RefWaveGrad
+
+        from sddm_tpu.models import WaveGrad
+
+        torch.manual_seed(0)
+        ref = RefWaveGrad().eval()
+        ours = WaveGrad()
+        params = import_wavegrad_state(ref.state_dict(), prefix="")
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(1)
+        frames = 2
+        t_len = frames * 300  # hop = 5*5*3*2*2
+        spec = rng.uniform(-1, 1, (2, 128, frames)).astype(np.float32)
+        audio = rng.uniform(-0.5, 0.5, (2, t_len)).astype(np.float32)
+        level = np.full((2,), 0.6, np.float32)
+
+        with torch.no_grad():
+            # reference forward unsqueezes audio itself (wavegrad.py:168)
+            ref_out = ref(
+                torch.from_numpy(spec), torch.from_numpy(audio),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(spec),
+                       jnp.asarray(audio[:, None, :]),
+                       jnp.asarray(level))
+        )
+        assert ours_out.reshape(ref_out.shape).shape == ref_out.shape
+        np.testing.assert_allclose(
+            ours_out.reshape(ref_out.shape), ref_out, rtol=1e-3, atol=1e-4
+        )
+
+
+class TestTSTNNImport:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.tstnn import TSTNN as RefTSTNN
+
+        from sddm_tpu.models import TSTNN
+
+        torch.manual_seed(0)
+        ref = RefTSTNN(num_samples=72, F=16, stride=8, n_channels=8).eval()
+        ours = TSTNN(num_samples=72, F=16, stride=8, n_channels=8)
+        params = import_tstnn_state(ref.state_dict(), prefix="")
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        """flax GRUCell folds torch's b_hr/b_hz into the ir/iz biases (the
+        summed linears make this exact), so each GRU direction stores 2H
+        fewer scalars: 8 encoder layers x 2 directions x 2H (H=2*d_model)."""
+        ref, _, params = pair
+        d_model = 8 // 2
+        fold_deficit = 8 * 2 * 2 * (2 * d_model)
+        assert _count(params) == (
+            sum(p.numel() for p in ref.parameters()) - fold_deficit
+        )
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(2)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 72)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 72)).astype(np.float32)
+        level = np.full((2, 1, 1), 0.7, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)

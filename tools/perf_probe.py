@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Perf probe: A/B micro-benchmarks for the flagship denoiser on one TPU chip.
+
+Measures the network FORWARD (the sampler's inner hot path,
+reference model/UNetModified2.py:237-269) and the full T-step sampler under
+controlled variants, so layout/dtype levers can be compared without
+recompiling the whole training stack.
+
+Usage: python tools/perf_probe.py [variant ...]
+Variants:
+  fwd            flagship forward, bf16, norm f32 (round-1 baseline)
+  fwd-normbf16   flagship forward, bf16, GroupNorm arithmetic in bf16
+  fwd-c64        inner_channel=64 variant forward
+  sampler        full 100-step sampler, norm f32 (bench.py baseline)
+  sampler-normbf16  full sampler with bf16 norms
+  trace          profile one sampler call to /tmp/sddm_trace
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sddm_tpu.diffusion import DiffusionSchedule
+from sddm_tpu.models import SDDM, UNetModified2
+
+NUM_SAMPLES = 16448
+BATCH = 8
+T_STEPS = 100
+
+
+def make_net(inner=32, norm_dtype=jnp.float32):
+    return UNetModified2(
+        num_samples=NUM_SAMPLES, inner_channel=inner, norm_groups=32,
+        channel_mults=(1, 2, 3, 4, 5), res_blocks=1,
+        segment_len=128, segment_stride=64, dtype=jnp.bfloat16,
+        norm_dtype=norm_dtype,
+    )
+
+
+def timeit(fn, *args, iters=20, warmup=True):
+    if warmup:
+        fn(*args).block_until_ready()
+        fn(*args).block_until_ready()
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    out.block_until_ready()
+    return (time.perf_counter() - start) / iters
+
+
+def bench_forward(name, net):
+    key = jax.random.PRNGKey(0)
+    cond = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 1, NUM_SAMPLES))
+    x_t = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 1, NUM_SAMPLES))
+    lvl = jnp.full((BATCH, 1, 1), 0.7)
+    params = net.init(key, cond, x_t, lvl)
+    fwd = jax.jit(lambda p, c, x, l: net.apply(p, c, x, l))
+    dt = timeit(fwd, params, cond, x_t, lvl)
+    print(f"{name}: {dt*1e3:.3f} ms/forward (batch {BATCH})", flush=True)
+    return dt
+
+
+def bench_sampler(name, net, trace=False):
+    sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
+    model = SDDM(sched, net, p_transition="condition_in")
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, (BATCH, 1, NUM_SAMPLES))
+    cond = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 1, NUM_SAMPLES))
+    infer = jax.jit(model.infer)
+    dt = timeit(infer, params, key, cond, iters=5)
+    rtf = BATCH * NUM_SAMPLES / 16000 / dt
+    print(f"{name}: {dt*1e3:.1f} ms/sampler  RTF {rtf:.1f}x  "
+          f"({T_STEPS/dt:.0f} steps/s)", flush=True)
+    if trace:
+        with jax.profiler.trace("/tmp/sddm_trace"):
+            infer(params, key, cond).block_until_ready()
+        print("trace written to /tmp/sddm_trace", flush=True)
+    return dt
+
+
+def main():
+    variants = sys.argv[1:] or ["fwd"]
+    for v in variants:
+        if v == "fwd":
+            bench_forward("fwd bf16/norm-f32", make_net())
+        elif v == "fwd-normbf16":
+            bench_forward("fwd bf16/norm-bf16", make_net(norm_dtype=None))
+        elif v == "fwd-c64":
+            bench_forward("fwd c64 bf16/norm-f32", make_net(inner=64))
+        elif v == "sampler":
+            bench_sampler("sampler norm-f32", make_net())
+        elif v == "sampler-normbf16":
+            bench_sampler("sampler norm-bf16", make_net(norm_dtype=None))
+        elif v == "trace":
+            bench_sampler("sampler traced", make_net(), trace=True)
+        else:
+            print(f"unknown variant {v}")
+
+
+if __name__ == "__main__":
+    main()
