@@ -23,6 +23,13 @@ from flax import linen as nn
 
 Dtype = Any
 
+# Experimental escape hatch (tools/perf_probe.py): when True, Block inserts
+# an optimization barrier between its input (the previous conv's output) and
+# the GroupNorm statistics, preventing XLA from fusing the stat reduction
+# into the producing convolution — inside while-loop bodies that fusion can
+# knock the conv off the fast emitter path.
+_ENTRY_BARRIER = False
+
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:
     """x * sigmoid(x) (reference model/UNetModified2.py:44-46)."""
@@ -147,6 +154,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if _ENTRY_BARRIER:
+            x = jax.lax.optimization_barrier(x)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                          dtype=self.norm_dtype)(x)
         h = swish(h).astype(x.dtype)

@@ -22,8 +22,18 @@ from .mesh import DATA_AXIS
 
 def process_shard_indices(n_samples: int) -> np.ndarray:
     """The dataset indices this host is responsible for (round-robin by
-    process, DistributedSampler-style)."""
-    return np.arange(jax.process_index(), n_samples, jax.process_count())
+    process, DistributedSampler-style).
+
+    Every host receives EXACTLY ``ceil(n / P)`` indices: when ``n`` is not
+    divisible by the process count the tail is padded by wrapping around to
+    the start (torch DistributedSampler's padding semantics).  Equal shard
+    sizes are a liveness requirement — with unequal shards ``len(loader)``
+    differs across hosts and the SPMD train loop deadlocks on the final
+    step (hosts that ran out stop issuing collectives)."""
+    p = jax.process_count()
+    per_host = -(-n_samples // p)  # ceil
+    padded = np.arange(p * per_host) % n_samples
+    return padded[jax.process_index()::p]
 
 
 def global_batch_from_local(

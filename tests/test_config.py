@@ -111,6 +111,7 @@ class TestTracker:
         assert t.avg("m") == 3.0
 
 
+@pytest.mark.slow
 class TestTBWriter:
     def test_jsonl_sidecar(self, tmp_path):
         w = TensorboardWriter(tmp_path, enabled=True)

@@ -1,6 +1,10 @@
 """Serving API: chunking, static-shape batching, mesh sharding, length
 round-trips."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import jax
 import numpy as np
 import pytest

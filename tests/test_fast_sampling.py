@@ -1,5 +1,9 @@
 """Fast sampling via schedule subsampling (with_sampling_steps)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

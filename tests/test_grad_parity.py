@@ -9,6 +9,10 @@ config_unet.json). Forward parity alone (test_torch_import.py) is necessary
 but not sufficient.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import sys
 from pathlib import Path
 

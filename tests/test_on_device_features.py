@@ -1,6 +1,10 @@
 """On-device feature extraction for the spectrogram-conditioned path:
 raw audio in, spectrogram computed inside the jitted step."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Pallas kernel correctness (interpret mode on CPU backend)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

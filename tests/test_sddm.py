@@ -1,6 +1,10 @@
 """End-to-end composite tests: UNetModified2 + SDDM train forward + scan
 sampler on tiny shapes (CPU backend)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

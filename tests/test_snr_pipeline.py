@@ -1,6 +1,10 @@
 """SNR-adaptive subsystem end-to-end: SDDM_with_SNREstimator forward/infer,
 SNREstimatorTrainer one epoch, frozen-estimator semantics."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,10 @@
 into the Flax network and compare forward outputs elementwise — the strongest
 architectural-parity check."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import sys
 from pathlib import Path
 

@@ -2,6 +2,10 @@
 step, validation-with-sampling, checkpoint rotation + resume, and
 data-parallel sharding over the 8-device virtual CPU mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import json
 
 import jax

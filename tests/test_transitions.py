@@ -1,5 +1,6 @@
 """Property/parity tests for q/p transitions (reference model/diffusion.py:164-326)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -124,6 +125,7 @@ class TestP:
         assert abs(std - expect) < 0.3 * expect + 0.05
 
 
+@pytest.mark.slow
 class TestVariable:
     def test_tables_shape_and_ramp(self):
         snr = jnp.asarray([[0.0, 10.0], [20.0, -5.0]])  # [B=2, N=2]

@@ -2,6 +2,10 @@
 every network honors the shared call contract
 ``network(condition, x_t, noise_level) -> eps_hat``)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

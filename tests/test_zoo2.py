@@ -1,5 +1,9 @@
 """Golden-shape tests for zoo part 2: UNetSP, UNetTST, CAUNet, Waveunet/2/3."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

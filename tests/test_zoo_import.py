@@ -3,6 +3,10 @@
 TSTNN (dual-path transformer with GRU FFN).  With imported weights both
 implementations must match elementwise."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 import sys
 from pathlib import Path
 

@@ -49,6 +49,10 @@ def make_net(inner=32, norm_dtype=jnp.float32):
 
 
 def timeit(fn, *args, iters=20, warmup=True):
+    """DO NOT time repeated identical calls on this container: the axon
+    relay result-caches (executable, inputs) pairs and reports impossibly
+    fast times.  Callers must chain inputs; this helper is kept only for
+    jitted fns whose output feeds nothing (it perturbs args each iter)."""
     if warmup:
         fn(*args).block_until_ready()
         fn(*args).block_until_ready()
@@ -59,15 +63,29 @@ def timeit(fn, *args, iters=20, warmup=True):
     return (time.perf_counter() - start) / iters
 
 
+def timeit_chained(fn, x, *args, iters=10):
+    """Time fn by feeding its output back as the first argument."""
+    x = fn(x, *args)
+    x.block_until_ready()
+    start = time.perf_counter()
+    for _ in range(iters):
+        x = fn(x, *args)
+    x.block_until_ready()
+    return (time.perf_counter() - start) / iters
+
+
 def bench_forward(name, net):
     key = jax.random.PRNGKey(0)
     cond = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 1, NUM_SAMPLES))
     x_t = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 1, NUM_SAMPLES))
     lvl = jnp.full((BATCH, 1, 1), 0.7)
     params = net.init(key, cond, x_t, lvl)
-    fwd = jax.jit(lambda p, c, x, l: net.apply(p, c, x, l))
-    dt = timeit(fwd, params, cond, x_t, lvl)
-    print(f"{name}: {dt*1e3:.3f} ms/forward (batch {BATCH})", flush=True)
+    fwd = jax.jit(
+        lambda x, p, c, l: net.apply(p, c, x, l).astype(x.dtype)
+    )
+    dt = timeit_chained(fwd, x_t, params, cond, lvl)
+    print(f"{name}: {dt*1e3:.3f} ms/forward (batch {BATCH}, chained)",
+          flush=True)
     return dt
 
 
@@ -89,6 +107,41 @@ def bench_sampler(name, net, trace=False):
     return dt
 
 
+def bench_scan_forward(name, net, unroll=1, python_loop=False):
+    """100 chained forwards — the sampler minus transitions.  Isolates the
+    while-loop penalty from the p_transition/PRNG tail.  ``unroll`` unrolls
+    the scan body; ``python_loop`` instead dispatches 100 separate jit calls
+    (the reference's execution model)."""
+    key = jax.random.PRNGKey(0)
+    cond = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 1, NUM_SAMPLES))
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 1, NUM_SAMPLES))
+    lvl = jnp.full((BATCH, 1, 1), 0.7)
+    params = net.init(key, cond, x0, lvl)
+
+    if python_loop:
+        fwd = jax.jit(lambda p, c, x: net.apply(p, c, x, lvl).astype(x.dtype))
+        fwd(params, cond, x0).block_until_ready()
+        start = time.perf_counter()
+        x = x0
+        for _ in range(T_STEPS):
+            x = fwd(params, cond, x)
+        x.block_until_ready()
+        dt = time.perf_counter() - start
+    else:
+        def run(p, c, x):
+            def step(carry, _):
+                out = net.apply(p, c, carry, lvl)
+                return out.astype(carry.dtype), None
+            y, _ = jax.lax.scan(step, x, None, length=T_STEPS, unroll=unroll)
+            return y
+
+        fn = jax.jit(run)
+        dt = timeit(fn, params, cond, x0, iters=5)
+    print(f"{name}: {dt*1e3:.1f} ms ({dt/T_STEPS*1e3:.3f} ms/forward)",
+          flush=True)
+    return dt
+
+
 def main():
     variants = sys.argv[1:] or ["fwd"]
     for v in variants:
@@ -104,6 +157,24 @@ def main():
             bench_sampler("sampler norm-bf16", make_net(norm_dtype=None))
         elif v == "trace":
             bench_sampler("sampler traced", make_net(), trace=True)
+        elif v == "scanfwd":
+            bench_scan_forward("scan of 100 forwards", make_net())
+        elif v == "scanfwd-unroll4":
+            bench_scan_forward("scan unroll=4", make_net(), unroll=4)
+        elif v == "loopfwd":
+            bench_scan_forward("python-loop 100 forwards", make_net(),
+                               python_loop=True)
+        elif v == "sampler-barrier":
+            from sddm_tpu.models import blocks
+            blocks._ENTRY_BARRIER = True
+            bench_sampler("sampler conv/GN barrier", make_net())
+            blocks._ENTRY_BARRIER = False
+        elif v == "sampler-barrier-normbf16":
+            from sddm_tpu.models import blocks
+            blocks._ENTRY_BARRIER = True
+            bench_sampler("sampler barrier+norm-bf16",
+                          make_net(norm_dtype=None))
+            blocks._ENTRY_BARRIER = False
         else:
             print(f"unknown variant {v}")
 
