@@ -14,6 +14,7 @@ faster than real time one chip enhances audio.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -36,6 +37,8 @@ BATCH = 8  # chunk rows processed in parallel (vectorized utterance chunks)
 
 
 def main():
+    # default flips to packed once the on-chip A/B is recorded
+    packed = "--packed" in sys.argv
     sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
     net = UNetModified2(
         num_samples=NUM_SAMPLES,
@@ -47,10 +50,19 @@ def main():
         segment_stride=64,
         dtype=jnp.bfloat16,
     )
-    model = SDDM(sched, net, p_transition="condition_in")
-
     key = jax.random.PRNGKey(0)
-    params = model.init(key, (BATCH, 1, NUM_SAMPLES))
+    base = SDDM(sched, net, p_transition="condition_in")
+    params = base.init(key, (BATCH, 1, NUM_SAMPLES))
+    if packed:
+        # space-to-depth inference engine: same checkpoint, same math,
+        # lane-aligned convs (models/unet_packed.py)
+        from sddm_tpu.models.unet_packed import PackedUNetModified2
+
+        engine = PackedUNetModified2(net)
+        params = engine.pack(params)
+        model = SDDM(sched, engine, p_transition="condition_in")
+    else:
+        model = base
     condition = (
         0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 1, NUM_SAMPLES))
     )

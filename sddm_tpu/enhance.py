@@ -165,10 +165,15 @@ def load_enhancer(
     mesh=None,
     warmup: bool = False,
     warmup_timeout_s=None,
+    packed: bool = True,
 ) -> Enhancer:
     """Build an Enhancer from a run-dir checkpoint + its config dict.
     Enables the persistent compile cache so warmed-up programs survive
-    process restarts."""
+    process restarts.
+
+    ``packed=True`` (default) serves UNetModified2 checkpoints through the
+    space-to-depth inference engine (models/unet_packed.py) — identical
+    outputs, lane-aligned convs; silently ignored for other networks."""
     enable_compile_cache()
     from .cli import build_arch, build_diffusion, build_network
     from .train.checkpoints import load_checkpoint
@@ -185,7 +190,15 @@ def load_enhancer(
         jax.random.PRNGKey(0), (1, 1, config["num_samples"])
     )
     ckpt = load_checkpoint(checkpoint_path, params_template=init_params)
+    params = ckpt["params"]
+    if packed and config["network"]["type"] == "UNetModified2" \
+            and not network.dropout:
+        from .models.unet_packed import PackedUNetModified2
+
+        engine = PackedUNetModified2(network)
+        params = engine.pack(params)
+        model = build_arch(cfg, diffusion, engine)
     return Enhancer(
-        model, ckpt["params"], config["num_samples"], batch_rows, mesh,
+        model, params, config["num_samples"], batch_rows, mesh,
         warmup=warmup, warmup_timeout_s=warmup_timeout_s,
     )

@@ -1,0 +1,398 @@
+"""Packed (space-to-depth) inference engine for UNetModified2.
+
+Mathematically EXACT reformulation of the flagship forward
+(models/unet_modified2.py) on 2x2 space-to-depth tensors: every level-l
+activation [B, N/2^l, F/2^l, C] becomes [B, N/2^{l+1}, F/2^{l+1}, 4C], so
+convs contract/produce >=128 channels and tiled TPU layouts stop padding the
+lane axis (C=32 convs measure 7.2 TFLOP/s; the same math packed measures
+~54 TFLOP/s — tools/layout_probe.py).  Checkpoints are shared with the
+standard model: ``pack_params`` rearranges the flax param tree ONCE on the
+host (kernel transforms from ops/packed.py), and ``apply`` mirrors the
+module's call contract, so ``SDDM(schedule, PackedUNetModified2(net))``
+drops into the existing sampler unchanged.
+
+GroupNorm on packed tensors: per-group statistics are computed with a
+static one-hot [4C, groups] matmul (MXU-friendly), supporting concatenated
+skip inputs whose packed channel order interleaves sections; scale/bias are
+pre-gathered per packed channel.
+
+Exactness vs the flax model is asserted elementwise in
+tests/test_packed_model.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.framing import frame_signal, overlap_add
+from ..ops.packed import (
+    pack_kernel_s1,
+    pack_kernel_s2_packed_out,
+    pack_kernel_s2_unpacked_out,
+    pack_kernel_upsample,
+    s2d,
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _conv(x, w, b=None, strides=(1, 1), padding="SAME"):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _sections_perm(sections: Tuple[int, ...]) -> np.ndarray:
+    """Input-channel axis reorder folding packed-concat layout into a kernel:
+    w_cat[:, :, perm_src, :] = w_packedcat.  (See ops/packed.pack_input_map:
+    x_packedcat[..., j] == x_cat[..., map[j]].)"""
+    from ..ops.packed import pack_input_map
+
+    return pack_input_map(sections)
+
+
+class _GN:
+    """GroupNorm plan for one call site (packed or plain).
+
+    Registered as a jax pytree (arrays are leaves, the plan shape is static
+    aux data) so packed param trees pass through jit/scan as arguments."""
+
+    def __init__(self, scale, bias, groups: int,
+                 sections: Tuple[int, ...], packed: bool):
+        self.groups = groups
+        self.eps = 1e-5
+        total = sum(sections)
+        if not packed:
+            self.onehot = None
+            self.scale = jnp.asarray(_np(scale))
+            self.bias = jnp.asarray(_np(bias))
+            return
+        k = total // groups
+        # channel order of concat(packed(s) for s in sections)
+        ch_orig = []
+        off = 0
+        for c in sections:
+            for _phase in range(4):
+                ch_orig.extend(range(off, off + c))
+            off += c
+        ch_orig = np.asarray(ch_orig)
+        group_of = ch_orig // k
+        onehot = np.zeros((4 * total, groups), np.float32)
+        onehot[np.arange(4 * total), group_of] = 1.0
+        self.onehot = jnp.asarray(onehot)
+        self.group_of = jnp.asarray(group_of)
+        self.count = 4 * k  # packed channels per group per spatial position
+        self.scale = jnp.asarray(_np(scale)[ch_orig])
+        self.bias = jnp.asarray(_np(bias)[ch_orig])
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x32 = x.astype(jnp.float32)
+        if self.onehot is None:
+            b, h, w, c = x.shape
+            g = self.groups
+            r = x32.reshape(b, h, w, g, c // g)
+            mean = jnp.mean(r, axis=(1, 2, 4), keepdims=True)
+            var = jnp.mean(r * r, axis=(1, 2, 4), keepdims=True) - mean**2
+            y = (r - mean) * jax.lax.rsqrt(var + self.eps)
+            y = y.reshape(b, h, w, c)
+            return y * self.scale + self.bias
+        b, h, w, _c = x.shape
+        n = h * w * self.count
+        s1 = jnp.einsum("bhwc,cg->bg", x32, self.onehot)
+        s2 = jnp.einsum("bhwc,cg->bg", x32 * x32, self.onehot)
+        mean = s1 / n
+        var = s2 / n - mean**2
+        mu = jnp.take(mean, self.group_of, axis=1)[:, None, None, :]
+        iv = jnp.take(jax.lax.rsqrt(var + self.eps), self.group_of,
+                      axis=1)[:, None, None, :]
+        return (x32 - mu) * iv * self.scale + self.bias
+
+
+def _gn_flatten(gn: "_GN"):
+    children = (gn.scale, gn.bias, gn.onehot,
+                getattr(gn, "group_of", None))
+    aux = (gn.groups, gn.eps, getattr(gn, "count", None))
+    return children, aux
+
+
+def _gn_unflatten(aux, children):
+    gn = _GN.__new__(_GN)
+    gn.scale, gn.bias, gn.onehot, group_of = children
+    gn.groups, gn.eps, count = aux
+    if group_of is not None:
+        gn.group_of = group_of
+    if count is not None:
+        gn.count = count
+    return gn
+
+
+jax.tree_util.register_pytree_node(_GN, _gn_flatten, _gn_unflatten)
+
+
+class PackedUNetModified2:
+    """Drop-in inference twin of a :class:`UNetModified2` instance.
+
+    ``packed_levels``: how many of the shallowest encoder/decoder levels run
+    in the packed representation (0 = plain functional re-execution,
+    len(channel_mults) = everything packed).
+    """
+
+    def __init__(self, net, packed_levels: int = None):
+        if net.dropout:
+            raise ValueError("packed engine is inference-only (dropout=0)")
+        self.net = net
+        self.num_levels = len(net.channel_mults)
+        self.packed_levels = (
+            self.num_levels if packed_levels is None else packed_levels
+        )
+
+    # -- parameter packing (host, once) --------------------------------------
+    def pack(self, params) -> Dict:
+        """Transform a trained UNetModified2 param tree into the packed
+        engine's weight set (one host-side pass; kernels re-expressed via
+        ops/packed.py, GN plans precomputed)."""
+        p = params["params"] if "params" in params else params
+        net = self.net
+        ic = net.inner_channel
+        packed: Dict[str, Any] = {"NoiseLevelMLP_0": jax.tree_util.tree_map(
+            jnp.asarray, p["NoiseLevelMLP_0"]
+        )}
+        lp = lambda level: level < self.packed_levels  # noqa: E731
+
+        def conv1(src, kind, packed_in, packed_out):
+            w, b = _np(src["kernel"]), _np(src["bias"])
+            if kind == "s1":
+                if packed_in:
+                    w, b = pack_kernel_s1(w), np.tile(b, 4)
+            elif kind == "down":
+                if packed_in and packed_out:
+                    w, b = pack_kernel_s2_packed_out(w), np.tile(b, 4)
+                elif packed_in:
+                    w = pack_kernel_s2_unpacked_out(w)
+                elif packed_out:
+                    raise NotImplementedError("unpacked->packed downsample")
+            elif kind == "up":
+                if packed_out:
+                    w, b = pack_kernel_upsample(w), np.tile(b, 4)
+            return {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+
+        def rb(src, sections, is_packed, cout):
+            e: Dict[str, Any] = {}
+            cin = sum(sections)
+            # Block_0 (input may be a packed concat)
+            w, b = _np(src["Block_0"]["Conv_0"]["kernel"]), _np(
+                src["Block_0"]["Conv_0"]["bias"])
+            if is_packed:
+                wp = pack_kernel_s1(w)
+                if len(sections) > 1:
+                    perm = _sections_perm(sections)
+                    wcat = np.empty_like(wp)
+                    wcat[:, :, perm, :] = wp
+                    wp = wcat
+                w, b = wp, np.tile(b, 4)
+            e["Block_0"] = {
+                "gn": _GN(src["Block_0"]["GroupNorm_0"]["scale"],
+                          src["Block_0"]["GroupNorm_0"]["bias"],
+                          net.norm_groups, sections, is_packed),
+                "conv": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+            }
+            w, b = _np(src["Block_1"]["Conv_0"]["kernel"]), _np(
+                src["Block_1"]["Conv_0"]["bias"])
+            if is_packed:
+                w, b = pack_kernel_s1(w), np.tile(b, 4)
+            e["Block_1"] = {
+                "gn": _GN(src["Block_1"]["GroupNorm_0"]["scale"],
+                          src["Block_1"]["GroupNorm_0"]["bias"],
+                          net.norm_groups, (cout,), is_packed),
+                "conv": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+            }
+            fwa = src["FeatureWiseAffine_0"]["Dense_0"]
+            e["fwa"] = {"kernel": jnp.asarray(_np(fwa["kernel"])),
+                        "bias": jnp.asarray(_np(fwa["bias"]))}
+            if cin != cout:
+                w, b = _np(src["Conv_0"]["kernel"]), _np(src["Conv_0"]["bias"])
+                if is_packed:
+                    wp = pack_kernel_s1(w)
+                    if len(sections) > 1:
+                        perm = _sections_perm(sections)
+                        wcat = np.empty_like(wp)
+                        wcat[:, :, perm, :] = wp
+                        wp = wcat
+                    w, b = wp, np.tile(b, 4)
+                e["res"] = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+            return e
+
+        rb_i = ds_i = us_i = 0
+        packed["Conv_0"] = conv1(p["Conv_0"], "s1", lp(0), lp(0))
+        skips: List[Tuple[int, bool]] = [(ic, lp(0))]
+        n_in = ic
+        for lvl, mult in enumerate(net.channel_mults):
+            n_out = ic * mult
+            for _ in range(net.res_blocks):
+                packed[f"ResnetBlock_{rb_i}"] = rb(
+                    p[f"ResnetBlock_{rb_i}"], (n_in,), lp(lvl), n_out)
+                skips.append((n_out, lp(lvl)))
+                n_in = n_out
+                rb_i += 1
+            packed[f"Downsample_{ds_i}"] = conv1(
+                p[f"Downsample_{ds_i}"]["Conv_0"], "down", lp(lvl),
+                lp(lvl + 1))
+            skips.append((n_out, lp(lvl + 1)))
+            ds_i += 1
+
+        packed[f"ResnetBlock_{rb_i}"] = rb(
+            p[f"ResnetBlock_{rb_i}"], (n_in,), lp(self.num_levels), n_in)
+        rb_i += 1
+
+        h_c = n_in
+        for ind in reversed(range(self.num_levels)):
+            n_ch = ic * net.channel_mults[ind]
+            skip_c, _sp = skips.pop()
+            packed[f"ResnetBlock_{rb_i}"] = rb(
+                p[f"ResnetBlock_{rb_i}"], (h_c, skip_c), lp(ind + 1), n_ch)
+            h_c = n_ch
+            rb_i += 1
+            packed[f"Upsample_{us_i}"] = conv1(
+                p[f"Upsample_{us_i}"]["Conv_0"], "up", lp(ind + 1), lp(ind))
+            us_i += 1
+            n_out = ic if ind == 0 else ic * net.channel_mults[ind - 1]
+            for _ in range(net.res_blocks):
+                skip_c, _sp = skips.pop()
+                packed[f"ResnetBlock_{rb_i}"] = rb(
+                    p[f"ResnetBlock_{rb_i}"], (h_c, skip_c), lp(ind), n_out)
+                h_c = n_out
+                rb_i += 1
+
+        # final Block
+        w, b = _np(p["Block_0"]["Conv_0"]["kernel"]), _np(
+            p["Block_0"]["Conv_0"]["bias"])
+        gn = _GN(p["Block_0"]["GroupNorm_0"]["scale"],
+                 p["Block_0"]["GroupNorm_0"]["bias"],
+                 net.norm_groups, (h_c,), lp(0))
+        if lp(0):
+            w, b = pack_kernel_s1(w), np.tile(b, 4)
+        packed["Block_0"] = {"gn": gn,
+                             "conv": {"kernel": jnp.asarray(w),
+                                      "bias": jnp.asarray(b)}}
+        return packed
+
+    # -- forward -------------------------------------------------------------
+    def init(self, key, *args, **kw):
+        raise TypeError("PackedUNetModified2 has no init; pack() a trained "
+                        "UNetModified2 param tree instead")
+
+    def apply(self, packed_params, condition, x_t, noise_level,
+              deterministic: bool = True, rngs=None):
+        from ..ops.packed import d2s  # local to keep module header light
+
+        net = self.net
+        pp = packed_params
+        in_dtype = x_t.dtype
+        lp = lambda level: level < self.packed_levels  # noqa: E731
+
+        cond_f = frame_signal(condition[:, 0, :], net.segment_len,
+                              net.segment_stride)
+        xt_f = frame_signal(x_t[:, 0, :], net.segment_len, net.segment_stride)
+        h = jnp.stack([cond_f, xt_f], axis=-1).astype(net.dtype)
+        if lp(0):
+            h = s2d(h)
+
+        # noise MLP (PositionalEncoding + 2 dense + swish, blocks.py)
+        nl = noise_level.astype(net.dtype)
+        half = net.inner_channel // 2
+        step = np.arange(half, dtype=np.float32)
+        vec = jnp.asarray(1e4 * 10.0 ** (-step * 4.0 / half), nl.dtype)
+        enc = nl.reshape(-1, 1) * vec[None, :]
+        t = jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
+        mlp = pp["NoiseLevelMLP_0"]
+        t = t @ mlp["Dense_0"]["kernel"].astype(t.dtype) + \
+            mlp["Dense_0"]["bias"].astype(t.dtype)
+        t = jax.nn.silu(t)
+        t = t @ mlp["Dense_1"]["kernel"].astype(t.dtype) + \
+            mlp["Dense_1"]["bias"].astype(t.dtype)
+        t_emb = jax.nn.silu(t)
+
+        def run_rb(e, x, tile):
+            blk = e["Block_0"]
+            y = blk["gn"](x).astype(x.dtype)
+            y = jax.nn.silu(y)
+            y = _conv(y, blk["conv"]["kernel"], blk["conv"]["bias"])
+            fwa = t_emb @ e["fwa"]["kernel"].astype(t_emb.dtype) + \
+                e["fwa"]["bias"].astype(t_emb.dtype)
+            # packed blocks need the per-channel bias tiled over the 4
+            # phases; detect from static kernel shapes (jit-safe)
+            if e["Block_1"]["conv"]["kernel"].shape[2] == 4 * fwa.shape[1]:
+                fwa = jnp.tile(fwa, (1, 4))
+            y = y + fwa[:, None, None, :]
+            blk = e["Block_1"]
+            y2 = blk["gn"](y).astype(y.dtype)
+            y2 = jax.nn.silu(y2)
+            y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"])
+            if "res" in e:
+                x = _conv(x, e["res"]["kernel"], e["res"]["bias"])
+            return y2 + x
+
+        rb_i = ds_i = us_i = 0
+        h = _conv(h, pp["Conv_0"]["kernel"], pp["Conv_0"]["bias"])
+        feats = [h]
+        for lvl, _mult in enumerate(net.channel_mults):
+            for _ in range(net.res_blocks):
+                h = run_rb(pp[f"ResnetBlock_{rb_i}"], h, lp(lvl))
+                feats.append(h)
+                rb_i += 1
+            e = pp[f"Downsample_{ds_i}"]
+            if lp(lvl) and lp(lvl + 1):
+                h = _conv(h, e["kernel"], e["bias"], strides=(2, 2),
+                          padding=((1, 1), (1, 1)))
+            elif lp(lvl):
+                h = _conv(h, e["kernel"], e["bias"],
+                          padding=((1, 0), (1, 0)))
+            else:
+                h = _conv(h, e["kernel"], e["bias"], strides=(2, 2),
+                          padding=((1, 1), (1, 1)))
+            feats.append(h)
+            ds_i += 1
+
+        h = run_rb(pp[f"ResnetBlock_{rb_i}"], h, lp(self.num_levels))
+        rb_i += 1
+
+        for ind in reversed(range(self.num_levels)):
+            h = run_rb(pp[f"ResnetBlock_{rb_i}"],
+                       jnp.concatenate([h, feats.pop()], axis=-1),
+                       lp(ind + 1))
+            rb_i += 1
+            e = pp[f"Upsample_{us_i}"]
+            if lp(ind):
+                if lp(ind + 1):
+                    h = d2s(h)
+                h = _conv(h, e["kernel"], e["bias"])
+            else:
+                b_, hh, ww, cc = h.shape
+                h = jax.image.resize(h, (b_, hh * 2, ww * 2, cc), "nearest")
+                h = _conv(h, e["kernel"], e["bias"])
+            us_i += 1
+            for _ in range(net.res_blocks):
+                h = run_rb(pp[f"ResnetBlock_{rb_i}"],
+                           jnp.concatenate([h, feats.pop()], axis=-1),
+                           lp(ind))
+                rb_i += 1
+
+        e = pp["Block_0"]
+        out = e["gn"](h).astype(h.dtype)
+        out = jax.nn.silu(out)
+        out = _conv(out, e["conv"]["kernel"], e["conv"]["bias"])
+        if lp(0):
+            out = d2s(out)
+        out = jnp.moveaxis(out, -1, 1).astype(in_dtype)
+        return overlap_add(out, net.num_samples, net.segment_stride)

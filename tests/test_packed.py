@@ -1,0 +1,106 @@
+"""Exactness of the space-to-depth packed conv transforms (ops/packed.py):
+every packed kernel must reproduce the unpacked op elementwise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sddm_tpu.ops.packed import (
+    d2s,
+    pack_input_map,
+    pack_kernel_s1,
+    pack_kernel_s2_packed_out,
+    pack_kernel_s2_unpacked_out,
+    pack_kernel_upsample,
+    s2d,
+)
+
+B, N, F = 2, 8, 12
+
+
+def conv(x, w, strides=(1, 1), padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(0)
+
+
+class TestS2D:
+    def test_round_trip(self, rng):
+        x = jnp.asarray(rng.randn(B, N, F, 3).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(d2s(s2d(x))), np.asarray(x))
+
+    def test_phase_layout(self, rng):
+        x = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
+        p = np.asarray(s2d(x))
+        # packed channel = (2a+b)*C + c
+        assert p[0, 1, 1, 2 * 2 + 0] == x[0, 2 * 1 + 1, 2 * 1 + 0, 0]
+
+
+class TestStride1:
+    @pytest.mark.parametrize("ci,co", [(3, 5), (4, 4)])
+    def test_3x3(self, rng, ci, co):
+        x = jnp.asarray(rng.randn(B, N, F, ci).astype(np.float32))
+        w = rng.randn(3, 3, ci, co).astype(np.float32)
+        ref = conv(x, jnp.asarray(w))
+        got = d2s(conv(s2d(x), jnp.asarray(pack_kernel_s1(w))))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_1x1(self, rng):
+        x = jnp.asarray(rng.randn(B, N, F, 3).astype(np.float32))
+        w = rng.randn(1, 1, 3, 6).astype(np.float32)
+        ref = conv(x, jnp.asarray(w))
+        got = d2s(conv(s2d(x), jnp.asarray(pack_kernel_s1(w))))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestStride2:
+    def test_unpacked_out(self, rng):
+        """Downsample: torch pad (1,1) stride 2."""
+        x = jnp.asarray(rng.randn(B, N, F, 3).astype(np.float32))
+        w = rng.randn(3, 3, 3, 5).astype(np.float32)
+        ref = conv(x, jnp.asarray(w), strides=(2, 2),
+                   padding=((1, 1), (1, 1)))
+        got = conv(s2d(x), jnp.asarray(pack_kernel_s2_unpacked_out(w)),
+                   padding=((1, 0), (1, 0)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_packed_out(self, rng):
+        x = jnp.asarray(rng.randn(B, N, F, 3).astype(np.float32))
+        w = rng.randn(3, 3, 3, 5).astype(np.float32)
+        ref = conv(x, jnp.asarray(w), strides=(2, 2),
+                   padding=((1, 1), (1, 1)))
+        got = d2s(conv(s2d(x), jnp.asarray(pack_kernel_s2_packed_out(w)),
+                       strides=(2, 2), padding=((1, 1), (1, 1))))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestUpsample:
+    def test_nearest_up_conv(self, rng):
+        x = jnp.asarray(rng.randn(B, N, F, 3).astype(np.float32))
+        w = rng.randn(3, 3, 3, 5).astype(np.float32)
+        up = jax.image.resize(x, (B, 2 * N, 2 * F, 3), method="nearest")
+        ref = conv(up, jnp.asarray(w))
+        got = d2s(conv(x, jnp.asarray(pack_kernel_upsample(w))))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestConcatMap:
+    def test_concat_permutation(self, rng):
+        x = jnp.asarray(rng.randn(B, N, F, 3).astype(np.float32))
+        y = jnp.asarray(rng.randn(B, N, F, 5).astype(np.float32))
+        ref = np.asarray(s2d(jnp.concatenate([x, y], axis=-1)))
+        cat = np.asarray(jnp.concatenate([s2d(x), s2d(y)], axis=-1))
+        perm = pack_input_map((3, 5))
+        np.testing.assert_array_equal(cat[..., perm], ref)
