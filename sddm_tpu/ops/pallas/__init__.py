@@ -1,3 +1,4 @@
-from .groupnorm_swish import group_norm_swish
+"""Pallas TPU kernels used by the production paths.
 
-__all__ = ["group_norm_swish"]
+(Experimental kernels that did not win their on-chip A/B live in
+sddm_tpu/experimental/.)"""

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sddm_tpu.ops.pallas.groupnorm_swish import (
+from sddm_tpu.experimental.pallas_groupnorm_swish import (
     group_norm_swish,
     group_norm_swish_reference,
 )
