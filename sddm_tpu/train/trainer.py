@@ -27,6 +27,7 @@ import optax
 
 from ..data.wav_io import save_wav
 from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.tensor import MODEL_AXIS, shard_state
 from ..utils.util import MetricTracker, inf_loop
 from .base_trainer import BaseTrainer
 from .state import TrainState
@@ -89,8 +90,14 @@ class Trainer(BaseTrainer):
             np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)
         )
         self.logger.info("Trainable parameters: %d", int(n_params))
-        self.state = replicate(TrainState.create(params, tx), self.mesh)
-        self._maybe_resume()
+        self.state = TrainState.create(params, tx)
+        self._maybe_resume()  # may swap in host arrays from the checkpoint
+        if MODEL_AXIS in self.mesh.axis_names:
+            # channel tensor parallelism: weights + optimizer moments
+            # sharded over the model axis (parallel/tensor.py)
+            self.state = shard_state(self.state, self.mesh)
+        else:
+            self.state = replicate(self.state, self.mesh)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._valid_step = jax.jit(self._valid_step_impl)

@@ -18,7 +18,7 @@ from sddm_tpu.cli import (
     build_network,
     standard_argparser,
 )
-from sddm_tpu.parallel import make_mesh
+from sddm_tpu.parallel import make_mesh, make_mesh_2d
 from sddm_tpu.train import Trainer, make_optimizer
 from sddm_tpu.utils import ConfigParser
 
@@ -54,9 +54,25 @@ def main(config):
         config=config,
         data_loader=tr_data_loader,
         valid_data_loader=val_data_loader,
-        mesh=make_mesh(),
+        mesh=make_training_mesh(config),
     )
     trainer.train()
+
+
+def make_training_mesh(config):
+    """1-D data mesh by default; ``trainer.model_parallel: k`` switches to a
+    2-D (data, model) mesh with channel tensor parallelism
+    (sddm_tpu/parallel/tensor.py) — a scaling axis the reference does not
+    have (its distributed story is DataParallel only, train.py:43-44)."""
+    mp = int(config["trainer"].get("model_parallel", 1))
+    if mp <= 1:
+        return make_mesh()
+    import jax
+
+    n = len(jax.devices())
+    if n % mp:
+        raise ValueError(f"model_parallel={mp} does not divide {n} devices")
+    return make_mesh_2d(n // mp, mp)
 
 
 if __name__ == "__main__":
