@@ -86,7 +86,18 @@ def build_network(config, **kwargs):
     fields = {f.name for f in dataclasses.fields(cls)}
     kwargs = {k: v for k, v in kwargs.items() if k in fields}
     args = {k: v for k, v in args.items() if k in fields or not fields}
-    return cls(**args, **kwargs)
+    net = cls(**args, **kwargs)
+    # ``"packed": true`` (top-level) trains/infers UNetModified2 through the
+    # space-to-depth engine — same checkpoints, same gradients (exactness
+    # tests in tests/test_packed_train.py), lane-aligned convs on TPU
+    if (config.get("packed") if hasattr(config, "get") else None) and \
+            net_cfg["type"] == "UNetModified2":
+        from .models.unet_packed import PackedTrainUNetModified2
+
+        if getattr(net, "dropout", 0):
+            raise ValueError("packed training requires dropout=0")
+        net = PackedTrainUNetModified2(net)
+    return net
 
 
 def build_arch(config, diffusion, network):

@@ -110,7 +110,8 @@ class SDDM:
             )
             cond_in = noise_level
         predicted = self._apply(
-            params, condition, x_t, cond_in, deterministic, k_drop
+            self._prepare(params), condition, x_t, cond_in, deterministic,
+            k_drop,
         )
         return predicted, noise
 
@@ -120,6 +121,13 @@ class SDDM:
             params, condition, x_t, noise_level,
             deterministic=deterministic, rngs=rngs,
         )
+
+    def _prepare(self, params):
+        """Engine hook: networks exposing ``prepare`` (e.g. the packed
+        training engine, models/unet_packed.py) re-derive their apply-time
+        weight set ONCE per forward/infer call — outside the sampling scan."""
+        prep = getattr(self.network, "prepare", None)
+        return prep(params) if prep is not None else params
 
     # -- sampler init (reference model/model.py:57-68) ---------------------
     def _x_T(self, key: jax.Array, condition: jnp.ndarray) -> jnp.ndarray:
@@ -169,6 +177,7 @@ class SDDM:
         state ``[T, B, ...]`` (the CLI subsamples every ``1 | (T // 100)``
         steps for parity with continuous sampling, model/model.py:79-103).
         """
+        params = self._prepare(params)
         k_init, k_scan = jax.random.split(key)
         x_T = self._x_T(k_init, condition)
         ts = jnp.arange(self.num_timesteps, 0, -1)

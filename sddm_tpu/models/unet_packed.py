@@ -34,6 +34,7 @@ from ..ops.packed import (
     pack_kernel_s1,
     pack_kernel_s2_packed_out,
     pack_kernel_s2_unpacked_out,
+    pack_kernel_traced,
     pack_kernel_upsample,
     s2d,
 )
@@ -62,39 +63,48 @@ def _sections_perm(sections: Tuple[int, ...]) -> np.ndarray:
     return pack_input_map(sections)
 
 
+def _packed_gn_plan(groups: int, sections: Tuple[int, ...]):
+    """Static plan for GroupNorm over a packed (possibly concatenated)
+    tensor: (ch_orig, group_of, onehot, count)."""
+    total = sum(sections)
+    k = total // groups
+    # channel order of concat(packed(s) for s in sections)
+    ch_orig = []
+    off = 0
+    for c in sections:
+        for _phase in range(4):
+            ch_orig.extend(range(off, off + c))
+        off += c
+    ch_orig = np.asarray(ch_orig)
+    group_of = ch_orig // k
+    onehot = np.zeros((4 * total, groups), np.float32)
+    onehot[np.arange(4 * total), group_of] = 1.0
+    return ch_orig, group_of, onehot, 4 * k
+
+
 class _GN:
     """GroupNorm plan for one call site (packed or plain).
 
-    Registered as a jax pytree (arrays are leaves, the plan shape is static
-    aux data) so packed param trees pass through jit/scan as arguments."""
+    ``scale``/``bias`` must already be in the call site's channel order
+    (packed order when a plan is given — the caller gathers by the plan's
+    ``ch_orig``).  Registered as a jax pytree (arrays are leaves, the plan
+    shape is static aux data) so packed param trees pass through jit/scan
+    as arguments."""
 
-    def __init__(self, scale, bias, groups: int,
-                 sections: Tuple[int, ...], packed: bool):
+    def __init__(self, scale, bias, groups: int, plan=None):
         self.groups = groups
         self.eps = 1e-5
-        total = sum(sections)
-        if not packed:
+        if plan is None:
             self.onehot = None
-            self.scale = jnp.asarray(_np(scale))
-            self.bias = jnp.asarray(_np(bias))
+            self.scale = scale
+            self.bias = bias
             return
-        k = total // groups
-        # channel order of concat(packed(s) for s in sections)
-        ch_orig = []
-        off = 0
-        for c in sections:
-            for _phase in range(4):
-                ch_orig.extend(range(off, off + c))
-            off += c
-        ch_orig = np.asarray(ch_orig)
-        group_of = ch_orig // k
-        onehot = np.zeros((4 * total, groups), np.float32)
-        onehot[np.arange(4 * total), group_of] = 1.0
+        _ch_orig, group_of, onehot, count = plan
         self.onehot = jnp.asarray(onehot)
         self.group_of = jnp.asarray(group_of)
-        self.count = 4 * k  # packed channels per group per spatial position
-        self.scale = jnp.asarray(_np(scale)[ch_orig])
-        self.bias = jnp.asarray(_np(bias)[ch_orig])
+        self.count = count  # packed channels per group per spatial position
+        self.scale = scale
+        self.bias = bias
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x32 = x.astype(jnp.float32)
@@ -140,6 +150,58 @@ def _gn_unflatten(aux, children):
 jax.tree_util.register_pytree_node(_GN, _gn_flatten, _gn_unflatten)
 
 
+class _HostKit:
+    """Numpy ops for one-time host-side packing (inference engine)."""
+
+    get = staticmethod(_np)
+    out = staticmethod(jnp.asarray)
+    s1 = staticmethod(pack_kernel_s1)
+    s2u = staticmethod(pack_kernel_s2_unpacked_out)
+    s2p = staticmethod(pack_kernel_s2_packed_out)
+    up = staticmethod(pack_kernel_upsample)
+
+    @staticmethod
+    def tile4(b):
+        return np.tile(b, 4)
+
+    @staticmethod
+    def take(x, idx):
+        return np.asarray(x)[idx]
+
+    @staticmethod
+    def unperm(w, perm):
+        wcat = np.empty_like(w)
+        wcat[:, :, perm, :] = w
+        return wcat
+
+
+class _TracedKit:
+    """jnp ops for in-jit differentiable packing (training path).
+
+    Kernel transforms use the probe-derived index maps
+    (ops/packed.py::pack_kernel_traced), so gradients flow back from every
+    packed copy of a weight to its original entry via the gather VJP."""
+
+    get = staticmethod(jnp.asarray)
+    out = staticmethod(lambda x: x)
+    s1 = staticmethod(lambda w: pack_kernel_traced("s1", w))
+    s2u = staticmethod(lambda w: pack_kernel_traced("s2u", w))
+    s2p = staticmethod(lambda w: pack_kernel_traced("s2p", w))
+    up = staticmethod(lambda w: pack_kernel_traced("up", w))
+
+    @staticmethod
+    def tile4(b):
+        return jnp.tile(b, 4)
+
+    @staticmethod
+    def take(x, idx):
+        return jnp.take(x, idx, axis=0)
+
+    @staticmethod
+    def unperm(w, perm):
+        return jnp.take(w, np.argsort(perm), axis=2)
+
+
 class PackedUNetModified2:
     """Drop-in inference twin of a :class:`UNetModified2` instance.
 
@@ -157,80 +219,97 @@ class PackedUNetModified2:
             self.num_levels if packed_levels is None else packed_levels
         )
 
-    # -- parameter packing (host, once) --------------------------------------
+    # -- parameter packing ----------------------------------------------------
+    # ``pack``        — host-side, once, for the static inference engine.
+    # ``pack_traced`` — identical math under jit on traced weights, so the
+    #                   packed forward is differentiable wrt the ORIGINAL
+    #                   param tree (training path).  Both run the same
+    #                   traversal parameterized by an op kit; the traced
+    #                   kernel transforms are probe-derived from the host
+    #                   ones (ops/packed.py::pack_kernel_traced) so the two
+    #                   can never drift.
     def pack(self, params) -> Dict:
         """Transform a trained UNetModified2 param tree into the packed
         engine's weight set (one host-side pass; kernels re-expressed via
         ops/packed.py, GN plans precomputed)."""
+        return self._pack_with(_HostKit, params)
+
+    def pack_traced(self, params) -> Dict:
+        """Differentiable packing for the training path (runs under jit)."""
+        return self._pack_with(_TracedKit, params)
+
+    def _pack_with(self, kit, params) -> Dict:
         p = params["params"] if "params" in params else params
         net = self.net
         ic = net.inner_channel
         packed: Dict[str, Any] = {"NoiseLevelMLP_0": jax.tree_util.tree_map(
-            jnp.asarray, p["NoiseLevelMLP_0"]
+            kit.out, p["NoiseLevelMLP_0"]
         )}
         lp = lambda level: level < self.packed_levels  # noqa: E731
 
+        def s1_cat(w, sections):
+            wp = kit.s1(w)
+            if len(sections) > 1:
+                wp = kit.unperm(wp, _sections_perm(sections))
+            return wp
+
+        def make_gn(gnsrc, sections, is_packed):
+            sc, bi = kit.get(gnsrc["scale"]), kit.get(gnsrc["bias"])
+            if is_packed:
+                plan = _packed_gn_plan(net.norm_groups, sections)
+                return _GN(kit.out(kit.take(sc, plan[0])),
+                           kit.out(kit.take(bi, plan[0])),
+                           net.norm_groups, plan)
+            return _GN(kit.out(sc), kit.out(bi), net.norm_groups)
+
         def conv1(src, kind, packed_in, packed_out):
-            w, b = _np(src["kernel"]), _np(src["bias"])
+            w, b = kit.get(src["kernel"]), kit.get(src["bias"])
             if kind == "s1":
                 if packed_in:
-                    w, b = pack_kernel_s1(w), np.tile(b, 4)
+                    w, b = kit.s1(w), kit.tile4(b)
             elif kind == "down":
                 if packed_in and packed_out:
-                    w, b = pack_kernel_s2_packed_out(w), np.tile(b, 4)
+                    w, b = kit.s2p(w), kit.tile4(b)
                 elif packed_in:
-                    w = pack_kernel_s2_unpacked_out(w)
+                    w = kit.s2u(w)
                 elif packed_out:
                     raise NotImplementedError("unpacked->packed downsample")
             elif kind == "up":
                 if packed_out:
-                    w, b = pack_kernel_upsample(w), np.tile(b, 4)
-            return {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+                    w, b = kit.up(w), kit.tile4(b)
+            return {"kernel": kit.out(w), "bias": kit.out(b)}
 
         def rb(src, sections, is_packed, cout):
             e: Dict[str, Any] = {}
             cin = sum(sections)
             # Block_0 (input may be a packed concat)
-            w, b = _np(src["Block_0"]["Conv_0"]["kernel"]), _np(
+            w, b = kit.get(src["Block_0"]["Conv_0"]["kernel"]), kit.get(
                 src["Block_0"]["Conv_0"]["bias"])
             if is_packed:
-                wp = pack_kernel_s1(w)
-                if len(sections) > 1:
-                    perm = _sections_perm(sections)
-                    wcat = np.empty_like(wp)
-                    wcat[:, :, perm, :] = wp
-                    wp = wcat
-                w, b = wp, np.tile(b, 4)
+                w, b = s1_cat(w, sections), kit.tile4(b)
             e["Block_0"] = {
-                "gn": _GN(src["Block_0"]["GroupNorm_0"]["scale"],
-                          src["Block_0"]["GroupNorm_0"]["bias"],
-                          net.norm_groups, sections, is_packed),
-                "conv": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+                "gn": make_gn(src["Block_0"]["GroupNorm_0"], sections,
+                              is_packed),
+                "conv": {"kernel": kit.out(w), "bias": kit.out(b)},
             }
-            w, b = _np(src["Block_1"]["Conv_0"]["kernel"]), _np(
+            w, b = kit.get(src["Block_1"]["Conv_0"]["kernel"]), kit.get(
                 src["Block_1"]["Conv_0"]["bias"])
             if is_packed:
-                w, b = pack_kernel_s1(w), np.tile(b, 4)
+                w, b = kit.s1(w), kit.tile4(b)
             e["Block_1"] = {
-                "gn": _GN(src["Block_1"]["GroupNorm_0"]["scale"],
-                          src["Block_1"]["GroupNorm_0"]["bias"],
-                          net.norm_groups, (cout,), is_packed),
-                "conv": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+                "gn": make_gn(src["Block_1"]["GroupNorm_0"], (cout,),
+                              is_packed),
+                "conv": {"kernel": kit.out(w), "bias": kit.out(b)},
             }
             fwa = src["FeatureWiseAffine_0"]["Dense_0"]
-            e["fwa"] = {"kernel": jnp.asarray(_np(fwa["kernel"])),
-                        "bias": jnp.asarray(_np(fwa["bias"]))}
+            e["fwa"] = {"kernel": kit.out(kit.get(fwa["kernel"])),
+                        "bias": kit.out(kit.get(fwa["bias"]))}
             if cin != cout:
-                w, b = _np(src["Conv_0"]["kernel"]), _np(src["Conv_0"]["bias"])
+                w, b = kit.get(src["Conv_0"]["kernel"]), kit.get(
+                    src["Conv_0"]["bias"])
                 if is_packed:
-                    wp = pack_kernel_s1(w)
-                    if len(sections) > 1:
-                        perm = _sections_perm(sections)
-                        wcat = np.empty_like(wp)
-                        wcat[:, :, perm, :] = wp
-                        wp = wcat
-                    w, b = wp, np.tile(b, 4)
-                e["res"] = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+                    w, b = s1_cat(w, sections), kit.tile4(b)
+                e["res"] = {"kernel": kit.out(w), "bias": kit.out(b)}
             return e
 
         rb_i = ds_i = us_i = 0
@@ -275,16 +354,14 @@ class PackedUNetModified2:
                 rb_i += 1
 
         # final Block
-        w, b = _np(p["Block_0"]["Conv_0"]["kernel"]), _np(
+        w, b = kit.get(p["Block_0"]["Conv_0"]["kernel"]), kit.get(
             p["Block_0"]["Conv_0"]["bias"])
-        gn = _GN(p["Block_0"]["GroupNorm_0"]["scale"],
-                 p["Block_0"]["GroupNorm_0"]["bias"],
-                 net.norm_groups, (h_c,), lp(0))
+        gn = make_gn(p["Block_0"]["GroupNorm_0"], (h_c,), lp(0))
         if lp(0):
-            w, b = pack_kernel_s1(w), np.tile(b, 4)
+            w, b = kit.s1(w), kit.tile4(b)
         packed["Block_0"] = {"gn": gn,
-                             "conv": {"kernel": jnp.asarray(w),
-                                      "bias": jnp.asarray(b)}}
+                             "conv": {"kernel": kit.out(w),
+                                      "bias": kit.out(b)}}
         return packed
 
     # -- forward -------------------------------------------------------------
@@ -396,3 +473,34 @@ class PackedUNetModified2:
             out = d2s(out)
         out = jnp.moveaxis(out, -1, 1).astype(in_dtype)
         return overlap_add(out, net.num_samples, net.segment_stride)
+
+
+class PackedTrainUNetModified2(PackedUNetModified2):
+    """TRAINING twin: the packed forward differentiated wrt the ORIGINAL
+    UNetModified2 param tree.
+
+    ``init`` delegates to the flax module (checkpoints stay fully
+    compatible); ``prepare`` re-packs the weights in-graph once per step
+    (``pack_traced``, pure gathers — negligible next to the conv FLOPs),
+    and autodiff accumulates each original weight's gradient from all of
+    its packed copies through the gather VJPs.  SDDM calls ``prepare``
+    once at its ``forward``/``infer`` entry, OUTSIDE the sampling scan, so
+    inference re-packs once per call, not per diffusion step.
+
+    Dropout must be 0 (as in the flagship recipe): the packed layout
+    interleaves channels, so flax's per-channel dropout masks would not
+    correspond.
+    """
+
+    def init(self, key, *args, **kw):
+        return self.net.init(key, *args, **kw)
+
+    def prepare(self, params):
+        return self.pack_traced(params)
+
+    def apply(self, packed_params, condition, x_t, noise_level,
+              deterministic: bool = True, rngs=None):
+        return PackedUNetModified2.apply(
+            self, packed_params, condition, x_t, noise_level,
+            deterministic=deterministic, rngs=rngs,
+        )

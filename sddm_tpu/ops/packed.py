@@ -152,6 +152,73 @@ def pack_kernel_upsample(w: np.ndarray) -> np.ndarray:
     return out
 
 
+# ---- differentiable (traced) kernel packing --------------------------------
+#
+# Every pack_kernel_* transform above is LINEAR in the weights: each packed
+# entry is a sum of (at most a few) original entries.  For the packed
+# TRAINING path (models/unet_packed.py::PackedTrainUNetModified2) the
+# transforms must run inside jit on traced weights so autodiff accumulates
+# each original weight's gradient from all of its packed copies.  The index
+# maps are derived by PROBING the numpy builders with index-carrier arrays —
+# guaranteeing the traced transforms can never drift from the host-side ones.
+
+from functools import lru_cache
+
+
+def _derive_map(builder, shape):
+    """Source-index map of a single-assignment linear kernel transform.
+
+    Probes ``builder`` with ``flat_index + 1`` carriers; output entries the
+    builder left at zero map to -1."""
+    idx = np.arange(int(np.prod(shape)), dtype=np.float64).reshape(shape) + 1.0
+    out = builder(idx)
+    return np.rint(out).astype(np.int64) - 1
+
+
+@lru_cache(maxsize=None)
+def _kernel_map(kind: str, shape) -> tuple:
+    """(tap maps) for a pack transform; tuple of int arrays, -1 == zero."""
+    shape = tuple(shape)
+    if kind == "s1":
+        return (_derive_map(pack_kernel_s1, shape),)
+    if kind == "s2u":
+        return (_derive_map(pack_kernel_s2_unpacked_out, shape),)
+    if kind == "s2p":
+        return (_derive_map(pack_kernel_s2_packed_out, shape),)
+    if kind == "up":
+        # the upsample transform SUMS aliased taps; probe one tap at a time
+        # (per-tap maps are single-source) and sum the gathers at apply time
+        maps = []
+        base = np.arange(int(np.prod(shape)), dtype=np.float64).reshape(shape)
+        for dh in range(3):
+            for dw in range(3):
+                probe = np.zeros(shape, np.float64)
+                probe[dh, dw] = base[dh, dw] + 1.0
+                m = np.rint(pack_kernel_upsample(probe)).astype(np.int64) - 1
+                if (m >= 0).any():
+                    maps.append(m)
+        return tuple(maps)
+    raise ValueError(kind)
+
+
+def _apply_map(w: jnp.ndarray, src: np.ndarray) -> jnp.ndarray:
+    g = jnp.take(w.reshape(-1), np.where(src >= 0, src, 0).reshape(-1),
+                 axis=0).reshape(src.shape)
+    return jnp.where(src >= 0, g, jnp.zeros((), w.dtype))
+
+
+def pack_kernel_traced(kind: str, w: jnp.ndarray) -> jnp.ndarray:
+    """Traced/differentiable equivalent of the pack_kernel_* transforms.
+
+    ``kind``: "s1" | "s2u" | "s2p" | "up".  Identical output to the numpy
+    builders (asserted in tests/test_packed.py::TestTracedKernelPacking)."""
+    maps = _kernel_map(kind, tuple(int(s) for s in w.shape))
+    out = _apply_map(w, maps[0])
+    for m in maps[1:]:
+        out = out + _apply_map(w, m)
+    return out
+
+
 def pack_input_map(sections) -> np.ndarray:
     """Channel permutation mapping concat(packed(x1), packed(x2), ...) to
     packed(concat(x1, x2, ...)).
