@@ -142,6 +142,85 @@ def bench_scan_forward(name, net, unroll=1, python_loop=False):
     return dt
 
 
+def bench_packed_sampler(name, net, trace=False, batch=BATCH):
+    from sddm_tpu.models.unet_packed import PackedUNetModified2
+
+    sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
+    base = SDDM(sched, net, p_transition="condition_in")
+    key = jax.random.PRNGKey(0)
+    params = base.init(key, (batch, 1, NUM_SAMPLES))
+    engine = PackedUNetModified2(net)
+    model = SDDM(sched, engine, p_transition="condition_in")
+    packed = engine.pack(params)
+    cond = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                   (batch, 1, NUM_SAMPLES))
+    infer = jax.jit(model.infer)
+    dt = timeit(infer, packed, key, cond, iters=5)
+    rtf = batch * NUM_SAMPLES / 16000 / dt
+    print(f"{name}: {dt*1e3:.1f} ms/sampler  RTF {rtf:.1f}x  "
+          f"({T_STEPS/dt:.0f} steps/s, batch {batch})", flush=True)
+    if trace:
+        with jax.profiler.trace("/tmp/sddm_trace_packed"):
+            infer(packed, key, cond).block_until_ready()
+        print("trace written to /tmp/sddm_trace_packed", flush=True)
+    return dt
+
+
+def bench_train_step(name, net, packed=False, batch=16):
+    """fwd+bwd+AMSGrad step A/B: plain flax model vs packed training engine
+    (models/unet_packed.py::PackedTrainUNetModified2)."""
+    import optax
+
+    from sddm_tpu.models.losses import l1_loss
+    from sddm_tpu.train.state import TrainState
+
+    sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
+    if packed:
+        from sddm_tpu.models.unet_packed import PackedTrainUNetModified2
+
+        model = SDDM(sched, PackedTrainUNetModified2(net),
+                     p_transition="condition_in")
+    else:
+        model = SDDM(sched, net, p_transition="condition_in")
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, (batch, 1, NUM_SAMPLES))
+    tx = optax.amsgrad(2e-3)
+    state = TrainState.create(params, tx)
+    target = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                     (batch, 1, NUM_SAMPLES))
+    cond = target + 0.02
+
+    def step(state, k, target, cond):
+        def loss_fn(p):
+            pred, noise = model.forward(p, k, target, cond,
+                                        deterministic=False)
+            return l1_loss(pred, noise)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(step=state.step + 1,
+                       params=optax.apply_updates(state.params, updates),
+                       opt_state=opt_state),
+            loss,
+        )
+
+    step_jit = jax.jit(step, donate_argnums=(0,))
+    state, loss = step_jit(state, key, target, cond)
+    jax.block_until_ready(loss)
+    iters = 20
+    start = time.perf_counter()
+    for i in range(iters):
+        state, loss = step_jit(state, jax.random.fold_in(key, i), target,
+                               cond)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - start) / iters
+    crops = batch / dt
+    print(f"{name}: {dt*1e3:.1f} ms/step (batch {batch}, {crops:.0f} crops/s)",
+          flush=True)
+    return dt
+
+
 def main():
     variants = sys.argv[1:] or ["fwd"]
     for v in variants:
@@ -175,6 +254,17 @@ def main():
             bench_sampler("sampler barrier+norm-bf16",
                           make_net(norm_dtype=None))
             blocks._ENTRY_BARRIER = False
+        elif v == "packed-sampler":
+            bench_packed_sampler("packed sampler", make_net())
+        elif v == "packed-trace":
+            bench_packed_sampler("packed sampler traced", make_net(),
+                                 trace=True)
+        elif v == "packed-sampler-b16":
+            bench_packed_sampler("packed sampler b16", make_net(), batch=16)
+        elif v == "train":
+            bench_train_step("train step plain", make_net())
+        elif v == "train-packed":
+            bench_train_step("train step packed", make_net(), packed=True)
         else:
             print(f"unknown variant {v}")
 
