@@ -90,13 +90,19 @@ def build_network(config, **kwargs):
     # ``"packed": true`` (top-level) trains/infers UNetModified2 through the
     # space-to-depth engine — same checkpoints, same gradients (exactness
     # tests in tests/test_packed_train.py), lane-aligned convs on TPU
-    if (config.get("packed") if hasattr(config, "get") else None) and \
-            net_cfg["type"] == "UNetModified2":
-        from .models.unet_packed import PackedTrainUNetModified2
-
-        if getattr(net, "dropout", 0):
+    if (config.get("packed") if hasattr(config, "get") else None):
+        if getattr(net, "dropout", 0) and net_cfg["type"] in (
+            "UNetModified2", "UNetModified2_VariableNoiseLevel"
+        ):
             raise ValueError("packed training requires dropout=0")
-        net = PackedTrainUNetModified2(net)
+        if net_cfg["type"] == "UNetModified2":
+            from .models.unet_packed import PackedTrainUNetModified2
+
+            net = PackedTrainUNetModified2(net)
+        elif net_cfg["type"] == "UNetModified2_VariableNoiseLevel":
+            from .models.unet_variable_packed import PackedTrainUNetVariable
+
+            net = PackedTrainUNetVariable(net)
     return net
 
 

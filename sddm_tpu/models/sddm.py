@@ -328,16 +328,23 @@ class SDDM_with_SNREstimator:
         x_t, noise, noise_level, _t = var.q_stochastic(vsched, target_seg, k_q)
         rngs = {"dropout": k_drop} if not deterministic else None
         predicted = self.network.apply(
-            params["network"], condition_seg, x_t, noise_level,
-            deterministic=deterministic, rngs=rngs,
+            self._prepare_network(params["network"]), condition_seg, x_t,
+            noise_level, deterministic=deterministic, rngs=rngs,
         )
         return predicted, noise
+
+    def _prepare_network(self, net_params):
+        """Engine hook (see SDDM._prepare): packed engines re-derive their
+        weight set once per call, outside the sampling scan."""
+        prep = getattr(self.network, "prepare", None)
+        return prep(net_params) if prep is not None else net_params
 
     def infer(self, params, key, condition):
         """Full reverse sampler + cross-fade overlap-add
         (model/model.py:177-203), as one ``lax.scan``."""
         condition_seg = self.segmentor(condition)
         vsched = self._tables(params, condition_seg)
+        net_params = self._prepare_network(params["network"])
         k_init, k_scan = jax.random.split(key)
         x_T = var.get_x_T(vsched, condition_seg, k_init)
         ts = jnp.arange(self.num_timesteps, 0, -1)
@@ -347,7 +354,7 @@ class SDDM_with_SNREstimator:
             k, sub = jax.random.split(k)
             nl = var.get_noise_level(vsched, t)
             predicted = self.network.apply(
-                params["network"], condition_seg, x_t, nl, deterministic=True
+                net_params, condition_seg, x_t, nl, deterministic=True
             )
             x_next = var.p_transition(vsched, x_t, t, predicted, sub)
             return (x_next, k), None
