@@ -99,7 +99,19 @@ class Trainer(BaseTrainer):
         else:
             self.state = replicate(self.state, self.mesh)
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        # Donation is disabled for packed engines: on this TPU stack the
+        # packed train step (in-graph weight gathers reading the donated
+        # parameter buffers) reproducibly corrupts training — loss goes NaN
+        # within a few steps WITH donate_argnums=(0,) and runs clean without
+        # it, on the byte-identical program (artifacts/nan_repro/).  Plain
+        # models keep donation (saves an optimizer-state copy per step).
+        donate = (
+            () if getattr(self.model.network, "prepare", None) is not None
+            else (0,)
+        )
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=donate
+        )
         self._valid_step = jax.jit(self._valid_step_impl)
 
     # ---- jitted steps -----------------------------------------------------
