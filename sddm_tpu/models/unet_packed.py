@@ -107,6 +107,11 @@ class _GN:
         self.bias = bias
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # barrier: on this TPU stack, letting the GN statistics fuse with
+        # the producing conv's relayout corrupts the operand at flagship
+        # shapes (finite conv output, NaN stats — artifacts/nan_repro/).
+        # The barrier forces a canonical materialization first.
+        x = jax.lax.optimization_barrier(x)
         x32 = x.astype(jnp.float32)
         if self.onehot is None:
             b, h, w, c = x.shape
@@ -119,8 +124,15 @@ class _GN:
             return y * self.scale + self.bias
         b, h, w, _c = x.shape
         n = h * w * self.count
-        s1 = jnp.einsum("bhwc,cg->bg", x32, self.onehot)
-        s2 = jnp.einsum("bhwc,cg->bg", x32 * x32, self.onehot)
+        # per-channel spatial moments first (lane-aligned reductions), then
+        # the group combine as a tiny [B, 4C] @ [4C, G] matmul.  Identical
+        # math to one big einsum over (h, w, c); split because on this TPU
+        # stack the full-tensor one-hot einsum miscompiles at flagship
+        # shapes — finite input, NaN stats (artifacts/nan_repro/README.md)
+        s1c = jnp.sum(x32, axis=(1, 2))
+        s2c = jnp.sum(x32 * x32, axis=(1, 2))
+        s1 = s1c @ self.onehot
+        s2 = s2c @ self.onehot
         mean = s1 / n
         var = s2 / n - mean**2
         mu = jnp.take(mean, self.group_of, axis=1)[:, None, None, :]
