@@ -37,9 +37,21 @@ BATCH = 8  # chunk rows processed in parallel (vectorized utterance chunks)
 
 
 def main():
+    import argparse
+
     # On-chip A/B (2026-08-16, v5e): packed 35.6x RTF vs base 20.1x -> packed
-    # is the default engine; pass --base to measure the plain flax model.
-    packed = "--base" not in sys.argv
+    # is the default engine
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--engine", choices=("packed", "base"), default="packed",
+        help="sampler engine to benchmark (default: packed)",
+    )
+    ap.add_argument(
+        "--base", action="store_true",
+        help="alias for --engine base",
+    )
+    ns = ap.parse_args()
+    packed = ns.engine == "packed" and not ns.base
     sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
     net = UNetModified2(
         num_samples=NUM_SAMPLES,

@@ -44,7 +44,21 @@ def setup_compile_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", path)
 
 
+def setup_platform() -> None:
+    """Honor ``SDDM_PLATFORM`` (e.g. ``cpu``, ``tpu``) for every CLI.
+
+    The container may pin ``JAX_PLATFORMS`` via sitecustomize before user
+    env vars apply, so a plain env override is ignored by JAX; calling
+    ``jax.config.update`` before first backend use wins.  Useful for running
+    the CLIs on hosts without an accelerator (the reference's ``-d`` flag
+    serves the analogous CUDA_VISIBLE_DEVICES role, train.py:75-78)."""
+    plat = os.environ.get("SDDM_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
 def standard_argparser(description: str) -> argparse.ArgumentParser:
+    setup_platform()
     setup_compile_cache()
     args = argparse.ArgumentParser(description=description)
     args.add_argument("-c", "--config", default=None, type=str,
@@ -52,7 +66,8 @@ def standard_argparser(description: str) -> argparse.ArgumentParser:
     args.add_argument("-r", "--resume", default=None, type=str,
                       help="path to latest checkpoint (default: None)")
     args.add_argument("-d", "--device", default=None, type=str,
-                      help="device override (kept for reference CLI parity)")
+                      help="JAX platform override (e.g. 'cpu'); the "
+                           "reference uses this slot for GPU indices")
     return args
 
 
@@ -91,15 +106,22 @@ def build_network(config, **kwargs):
     # space-to-depth engine — same checkpoints, same gradients (exactness
     # tests in tests/test_packed_train.py), lane-aligned convs on TPU
     if (config.get("packed") if hasattr(config, "get") else None):
-        if getattr(net, "dropout", 0) and net_cfg["type"] in (
+        if net_cfg["type"] not in (
             "UNetModified2", "UNetModified2_VariableNoiseLevel"
         ):
+            raise ValueError(
+                '"packed": true has no packed engine for network type '
+                f'{net_cfg["type"]!r}; supported: UNetModified2, '
+                "UNetModified2_VariableNoiseLevel (remove the flag to train "
+                "the plain network)"
+            )
+        if getattr(net, "dropout", 0):
             raise ValueError("packed training requires dropout=0")
         if net_cfg["type"] == "UNetModified2":
             from .models.unet_packed import PackedTrainUNetModified2
 
             net = PackedTrainUNetModified2(net)
-        elif net_cfg["type"] == "UNetModified2_VariableNoiseLevel":
+        else:
             from .models.unet_variable_packed import PackedTrainUNetVariable
 
             net = PackedTrainUNetVariable(net)

@@ -47,12 +47,18 @@ def p_transition(
     t: jnp.ndarray,
     predicted: jnp.ndarray,
     key: jax.Array,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Ho-2020/WaveGrad reverse step (reference model/diffusion.py:177-190)."""
+    """Ho-2020/WaveGrad reverse step (reference model/diffusion.py:177-190).
+
+    ``noise`` (optional) injects a pre-drawn N(0,1) sample instead of drawing
+    from ``key`` — used by the end-to-end sampler output-parity tests to share
+    one noise stream with the torch reference."""
     mean = (x_t - sched.predicted_noise_coeff[t] * predicted) / jnp.sqrt(
         sched.alphas[t]
     )
-    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
     x_t_1 = mean + _noise_gate(t, x_t.dtype) * sched.sigma[t] * noise
     return _clip(x_t_1)
 
@@ -63,12 +69,14 @@ def p_transition_sr3(
     t: jnp.ndarray,
     predicted: jnp.ndarray,
     key: jax.Array,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """SR3 variant: same mean, noise std sqrt(beta_t) (model/diffusion.py:164-175)."""
     mean = (x_t - sched.predicted_noise_coeff[t] * predicted) / jnp.sqrt(
         sched.alphas[t]
     )
-    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
     x_t_1 = mean + _noise_gate(t, x_t.dtype) * jnp.sqrt(sched.betas[t]) * noise
     return _clip(x_t_1)
 
@@ -80,12 +88,14 @@ def p_transition_supportive(
     predicted: jnp.ndarray,
     condition: jnp.ndarray,
     key: jax.Array,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Lu et al 2021 supportive reverse step (model/diffusion.py:192-209)."""
     gamma = sched.supportive_gamma[t]
     mu_t = x_t - sched.predicted_noise_coeff[t] * predicted
     x_t_1 = ((1.0 - gamma) * mu_t + gamma * condition) / jnp.sqrt(sched.alphas[t])
-    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
     sigma_hat = jnp.maximum(0.0, sched.supportive_sigma_hat[t])
     x_t_1 = x_t_1 + _noise_gate(t, x_t.dtype) * sigma_hat * noise
     return _clip(x_t_1)
@@ -98,6 +108,7 @@ def p_transition_conditional(
     predicted: jnp.ndarray,
     condition: jnp.ndarray,
     key: jax.Array,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """CDiffuSE-style conditional reverse step (model/diffusion.py:211-223)."""
     mean = (
@@ -105,7 +116,8 @@ def p_transition_conditional(
         + sched.c_yt[t] * condition
         - sched.c_epst[t] * predicted
     )
-    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
     x_t_1 = mean + _noise_gate(t, x_t.dtype) * sched.sqrt_delta_estimated[t] * noise
     return _clip(x_t_1)
 
@@ -184,19 +196,23 @@ def q_stochastic_conditional(
 # --------------------------------------------------------------------------
 
 def get_x_T(
-    sched: DiffusionSchedule, condition: jnp.ndarray, key: jax.Array
+    sched: DiffusionSchedule, condition: jnp.ndarray, key: jax.Array,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """x_T = sqrt_ab[T]*y + sqrt(1 - ab[T])*eps (model/diffusion.py:281-300)."""
-    noise = jax.random.normal(key, condition.shape, condition.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, condition.shape, condition.dtype)
     level = sched.sqrt_alpha_bar[sched.num_timesteps]
     return level * condition + jnp.sqrt(1.0 - jnp.square(level)) * noise
 
 
 def get_x_T_conditional(
-    sched: DiffusionSchedule, condition: jnp.ndarray, key: jax.Array
+    sched: DiffusionSchedule, condition: jnp.ndarray, key: jax.Array,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """x_T = sqrt_ab[T]*y + sqrt_delta[T]*eps (model/diffusion.py:302-320)."""
-    noise = jax.random.normal(key, condition.shape, condition.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, condition.shape, condition.dtype)
     T = sched.num_timesteps
     return sched.sqrt_alpha_bar[T] * condition + sched.sqrt_delta[T] * noise
 

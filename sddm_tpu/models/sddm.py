@@ -130,17 +130,19 @@ class SDDM:
         return prep(params) if prep is not None else params
 
     # -- sampler init (reference model/model.py:57-68) ---------------------
-    def _x_T(self, key: jax.Array, condition: jnp.ndarray) -> jnp.ndarray:
+    def _x_T(self, key: jax.Array, condition: jnp.ndarray, noise=None) -> jnp.ndarray:
         if self.p_transition == "conditional":
-            return tr.get_x_T_conditional(self.diffusion, condition, key)
+            return tr.get_x_T_conditional(self.diffusion, condition, key, noise)
         if self.p_transition == "condition_in":
-            return tr.get_x_T(self.diffusion, condition, key)
+            return tr.get_x_T(self.diffusion, condition, key, noise)
         if self.p_transition == "supportive":
             return condition
+        if noise is not None:
+            return noise
         return jax.random.normal(key, condition.shape, condition.dtype)
 
     # -- one reverse step, mode-resolved statically ------------------------
-    def _reverse_step(self, params, condition, x_t, t, key):
+    def _reverse_step(self, params, condition, x_t, t, key, noise=None):
         sched = self.diffusion
         if self.noise_condition == "sqrt_alpha_bar":
             nl = sched.sqrt_alpha_bar[t] * jnp.ones(
@@ -153,15 +155,17 @@ class SDDM:
             )
         predicted = self._apply(params, condition, x_t, nl, True)
         if self.p_transition in ("original", "condition_in"):
-            return tr.p_transition(sched, x_t, t, predicted, key)
+            return tr.p_transition(sched, x_t, t, predicted, key, noise)
         if self.p_transition == "sr3":
-            return tr.p_transition_sr3(sched, x_t, t, predicted, key)
+            return tr.p_transition_sr3(sched, x_t, t, predicted, key, noise)
         if self.p_transition == "supportive":
             return tr.p_transition_supportive(
-                sched, x_t, t, predicted, condition, key
+                sched, x_t, t, predicted, condition, key, noise
             )
         # conditional
-        return tr.p_transition_conditional(sched, x_t, t, predicted, condition, key)
+        return tr.p_transition_conditional(
+            sched, x_t, t, predicted, condition, key, noise
+        )
 
     # -- full reverse sampler (reference model/model.py:51-124) ------------
     def infer(
@@ -170,25 +174,37 @@ class SDDM:
         key: jax.Array,
         condition: jnp.ndarray,
         return_trajectory: bool = False,
+        noise_stream=None,
     ) -> jnp.ndarray:
         """Run the full T-step reverse process as a single ``lax.scan``.
 
         ``return_trajectory=True`` additionally returns every intermediate
         state ``[T, B, ...]`` (the CLI subsamples every ``1 | (T // 100)``
         steps for parity with continuous sampling, model/model.py:79-103).
+
+        ``noise_stream`` (optional) is ``(xT_noise, step_noises)`` with
+        ``step_noises[i]`` the N(0,1) draw for step t = T - i; it replaces
+        all in-sampler PRNG so the composed chain can be compared
+        elementwise against the torch reference's ``model.infer`` driven by
+        the same stream (tests/test_sampler_output_parity.py).
         """
         params = self._prepare(params)
         k_init, k_scan = jax.random.split(key)
-        x_T = self._x_T(k_init, condition)
+        xT_noise, step_noises = (
+            noise_stream if noise_stream is not None else (None, None)
+        )
+        x_T = self._x_T(k_init, condition, xT_noise)
         ts = jnp.arange(self.num_timesteps, 0, -1)
 
-        def step(carry, t):
+        def step(carry, xs):
+            t, nz = xs if step_noises is not None else (xs, None)
             x_t, k = carry
             k, sub = jax.random.split(k)
-            x_next = self._reverse_step(params, condition, x_t, t, sub)
+            x_next = self._reverse_step(params, condition, x_t, t, sub, nz)
             return (x_next, k), (x_next if return_trajectory else None)
 
-        (x_0, _), traj = jax.lax.scan(step, (x_T, k_scan), ts)
+        xs = (ts, step_noises) if step_noises is not None else ts
+        (x_0, _), traj = jax.lax.scan(step, (x_T, k_scan), xs)
         if return_trajectory:
             return x_0, traj
         return x_0

@@ -172,7 +172,22 @@ def _derive_map(builder, shape):
     builder left at zero map to -1."""
     idx = np.arange(int(np.prod(shape)), dtype=np.float64).reshape(shape) + 1.0
     out = builder(idx)
-    return np.rint(out).astype(np.int64) - 1
+    m = np.rint(out).astype(np.int64) - 1
+    # Self-check: the probe is only valid for single-source, coefficient-1
+    # copy transforms.  A builder that sums or scales taps would rint to a
+    # plausible-but-wrong source index — catch that by replaying the derived
+    # map on random data and comparing with the builder's own output.
+    rng = np.random.default_rng(0)
+    probe = rng.standard_normal(shape)
+    replay = np.where(
+        m >= 0, probe.reshape(-1)[np.where(m >= 0, m, 0)], 0.0
+    )
+    if not np.allclose(replay, builder(probe)):
+        raise AssertionError(
+            "_derive_map: builder is not a single-source copy transform; "
+            "derived index map does not reproduce its output"
+        )
+    return m
 
 
 @lru_cache(maxsize=None)

@@ -93,6 +93,17 @@ class Trainer(BaseTrainer):
         self.state = TrainState.create(params, tx)
         self._maybe_resume()  # may swap in host arrays from the checkpoint
         if MODEL_AXIS in self.mesh.axis_names:
+            if getattr(self.model.network, "prepare", None) is not None:
+                # packed engines gather index-flattened weights in-graph,
+                # which forces GSPMD to all-gather every channel-sharded
+                # kernel each step — correctness holds but the TP memory
+                # savings are negated; unsupported until packing is made
+                # shard-aware
+                raise ValueError(
+                    "model_parallel>1 with a packed engine is unsupported: "
+                    "in-graph kernel packing all-gathers sharded weights "
+                    "every step (set packed=false or model_parallel=1)"
+                )
             # channel tensor parallelism: weights + optimizer moments
             # sharded over the model axis (parallel/tensor.py)
             self.state = shard_state(self.state, self.mesh)

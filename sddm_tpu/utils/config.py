@@ -51,6 +51,15 @@ class ConfigParser:
         if hasattr(args, "parse_args"):
             args = args.parse_args()
 
+        device = getattr(args, "device", None)
+        if device and not device.isdigit():
+            # '-d cpu' selects the JAX platform; bare GPU indices (the
+            # reference's CUDA_VISIBLE_DEVICES use, train.py:75-78) are a
+            # no-op here
+            import jax
+
+            jax.config.update("jax_platforms", device)
+
         if getattr(args, "resume", None) is not None:
             resume = Path(args.resume)
             cfg_fname = resume.parent / "config.json"
