@@ -223,6 +223,73 @@ def _dense_block(sd, name, depth=4):
     return out
 
 
+def _ca_fwa(sd, name):
+    """CAUNet FeatureWiseAffine MLP: Linear -> PReLU -> Linear
+    (CAUNet.py:59-79)."""
+    return {
+        "Dense_0": _dense(sd, f"{name}.noise_func.0"),
+        "PReLU_0": _prelu(sd, f"{name}.noise_func.1"),
+        "Dense_1": _dense(sd, f"{name}.noise_func.2"),
+    }
+
+
+def import_caunet_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    n_encode_layers: int = 4,
+    dense_depth: int = 3,
+    n_TSTB: int = 6,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference CAUNet state_dict to flax params for
+    :class:`sddm_tpu.models.CAUNet` (reference model/CAUNet.py:307-375)."""
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+
+    mid: Dict = {
+        "Conv_0": _conv2d(sd, "mid.input.0"),
+        "PReLU_0": _prelu(sd, "mid.input.1"),
+        # CAUNet's Dual_Transformer output is Conv THEN PReLU
+        # (CAUNet.py:174-177; TSTNN's is the reverse)
+        "Conv_1": _conv2d(sd, "mid.output.0"),
+        "PReLU_1": _prelu(sd, "mid.output.1"),
+    }
+    for i in range(n_TSTB):
+        mid[f"TransformerEncoderLayerGRU_{2 * i}"] = _encoder_layer(
+            sd, f"mid.row_trans.{i}"
+        )
+        mid[f"TransformerEncoderLayerGRU_{2 * i + 1}"] = _encoder_layer(
+            sd, f"mid.col_trans.{i}"
+        )
+        mid[f"GroupNorm1_{2 * i}"] = _lnorm(sd, f"mid.row_norm.{i}")
+        mid[f"GroupNorm1_{2 * i + 1}"] = _lnorm(sd, f"mid.col_norm.{i}")
+
+    params: Dict = {
+        "Conv_0": _conv2d(sd, "first_conv"),
+        "DualTransformer_0": mid,
+        "Conv_1": _conv2d(sd, "final_conv"),
+    }
+    for i in range(n_encode_layers):
+        params[f"EncodeLayer_{i}"] = {
+            "CAFeatureWiseAffine_0": _ca_fwa(sd, f"downs.{i}.noise_func"),
+            "DenseBlock_0": _dense_block(
+                sd, f"downs.{i}.dense", dense_depth
+            ),
+            "Conv_0": _conv2d(sd, f"downs.{i}.downsample.0"),
+            "LayerNormLastAxis_0": _lnorm(sd, f"downs.{i}.downsample.1"),
+            "PReLU_0": _prelu(sd, f"downs.{i}.downsample.2"),
+        }
+        params[f"DecodeLayer_{i}"] = {
+            "CAFeatureWiseAffine_0": _ca_fwa(sd, f"ups.{i}.noise_func"),
+            "DenseBlock_0": _dense_block(sd, f"ups.{i}.dense", dense_depth),
+            "SPConvTranspose2d_0": {
+                "Conv_0": _conv2d(sd, f"ups.{i}.upsample.0.conv")
+            },
+            "LayerNormLastAxis_0": _lnorm(sd, f"ups.{i}.upsample.1"),
+            "PReLU_0": _prelu(sd, f"ups.{i}.upsample.2"),
+        }
+    return {"params": params}
+
+
 def import_tstnn_state(
     state_dict: Mapping[str, "np.ndarray"],
     num_layers: int = 4,

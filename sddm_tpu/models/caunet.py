@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.framing import frame_signal, overlap_add
-from .blocks import FeatureWiseAffine
+from .blocks import torch_dense
 from .tst_blocks import (
     DenseBlock,
     DualTransformer,
@@ -32,6 +32,31 @@ def _norm_over_F(h: jnp.ndarray, f: int) -> jnp.ndarray:
     return jnp.swapaxes(h, -1, -2)
 
 
+class CAFeatureWiseAffine(nn.Module):
+    """CAUNet's noise injection — unlike UNetModified2's single-Dense
+    FeatureWiseAffine (blocks.py), this is a 2-layer MLP with a per-channel
+    PReLU between: Linear(nl -> 4*nl) -> PReLU(4*nl) -> Linear(4*nl ->
+    out*(1+affine)) (reference CAUNet.py:59-79)."""
+
+    noise_channels: int
+    out_channels: int
+    use_affine_level: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, noise_embed: jnp.ndarray) -> jnp.ndarray:
+        batch = x.shape[0]
+        expand = self.noise_channels * 4
+        h = torch_dense(self.noise_channels, expand, dtype=x.dtype)(noise_embed)
+        h = PReLU(expand)(h)
+        n_out = self.out_channels * (2 if self.use_affine_level else 1)
+        h = torch_dense(expand, n_out, dtype=x.dtype)(h)
+        h = h.reshape((batch,) + (1,) * (x.ndim - 2) + (-1,))
+        if self.use_affine_level:
+            gamma, beta = jnp.split(h, 2, axis=-1)
+            return (1.0 + gamma) * x + beta
+        return x + h
+
+
 class EncodeLayer(nn.Module):
     """noise inject -> DenseBlock -> strided (1,3) downsample
     (reference CAUNet.py:252-275)."""
@@ -43,9 +68,9 @@ class EncodeLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, noise_embed):
-        h = FeatureWiseAffine(self.n_channels, self.use_affine_level)(
-            x, noise_embed
-        )
+        h = CAFeatureWiseAffine(
+            self.n_channels, self.n_channels, self.use_affine_level
+        )(x, noise_embed)
         h = DenseBlock(self.frame_length, self.depth, self.n_channels)(h)
         h = nn.Conv(
             self.n_channels, (1, 3), strides=(1, 2),
@@ -66,9 +91,9 @@ class DecodeLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, noise_embed):
-        h = FeatureWiseAffine(self.n_channels, self.use_affine_level)(
-            x, noise_embed
-        )
+        h = CAFeatureWiseAffine(
+            self.n_channels, self.n_channels, self.use_affine_level
+        )(x, noise_embed)
         h = DenseBlock(self.frame_length, self.depth, self.n_channels)(h)
         h = jnp.concatenate([h, skip], axis=-1)
         # CAUNet's SPConvTranspose2d pads (0,1) internally (CAUNet.py:210)
@@ -114,7 +139,8 @@ class CAUNet(nn.Module):
             current_len //= 2
 
         h = DualTransformer(
-            self.inner_channel, self.inner_channel, num_layers=self.n_TSTB
+            self.inner_channel, self.inner_channel, num_layers=self.n_TSTB,
+            per_channel_prelu=True, output_conv_first=True,
         )(h, deterministic)
 
         for _ in range(self.n_encode_layers):

@@ -133,15 +133,21 @@ class DualTransformer(nn.Module):
     output_size: int
     dropout: float = 0.0
     num_layers: int = 1
+    # CAUNet's Dual_Transformer variant (CAUNet.py:152-180) differs from
+    # TSTNN's in exactly two ways: PReLUs are per-channel (not one shared
+    # slope), and the output Sequential is Conv THEN PReLU (TSTNN: PReLU
+    # then Conv, tstnn.py:139-141)
+    per_channel_prelu: bool = False
+    output_conv_first: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, n, f, _c = x.shape
         d = self.input_size // 2
         h = nn.Conv(d, (1, 1), dtype=x.dtype)(x)
-        # reference uses nn.PReLU() here — ONE shared slope, not per-channel
-        # (tstnn.py:122-125, 139-141)
-        h = PReLU(1)(h)
+        # reference TSTNN uses nn.PReLU() here — ONE shared slope, not
+        # per-channel (tstnn.py:122-125, 139-141)
+        h = PReLU(d if self.per_channel_prelu else 1)(h)
 
         for _ in range(self.num_layers):
             # row: sequence along F for each of b*n rows
@@ -160,7 +166,12 @@ class DualTransformer(nn.Module):
             col_out = GroupNorm1(d)(jnp.swapaxes(col_out, 1, 2))
             h = h + col_out
 
-        h = PReLU(1)(h)
+        if self.output_conv_first:  # CAUNet.py:174-177
+            h = nn.Conv(self.output_size, (1, 1), dtype=x.dtype)(h)
+            return PReLU(
+                self.output_size if self.per_channel_prelu else 1
+            )(h)
+        h = PReLU(d if self.per_channel_prelu else 1)(h)
         return nn.Conv(self.output_size, (1, 1), dtype=x.dtype)(h)
 
 

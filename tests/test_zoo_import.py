@@ -165,3 +165,52 @@ class TestTSTNNImport:
         )
         assert ours_out.shape == ref_out.shape
         np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
+class TestCAUNetImport:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.CAUNet import CAUNet as RefCAUNet
+
+        from sddm_tpu.compat.zoo_import import import_caunet_state
+        from sddm_tpu.models import CAUNet
+
+        kw = dict(num_samples=104, inner_channel=8, n_encode_layers=2,
+                  dense_depth=2, n_TSTB=1, segment_len=16, segment_stride=8)
+        torch.manual_seed(0)
+        ref = RefCAUNet(**kw).eval()
+        ours = CAUNet(**kw)
+        params = import_caunet_state(
+            ref.state_dict(), n_encode_layers=2, dense_depth=2, n_TSTB=1,
+            prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        """Same GRU bias-fold deficit as TSTNN: 2 encoder layers (row+col)
+        x 2 directions x 2H with H = 2*d_model, d_model = inner//2."""
+        ref, _, params = pair
+        d_model = 8 // 2
+        fold_deficit = 2 * 2 * 2 * (2 * d_model)
+        assert _count(params) == (
+            sum(p.numel() for p in ref.parameters()) - fold_deficit
+        )
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(3)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 104)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 104)).astype(np.float32)
+        level = np.full((2, 1, 1), 0.7, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
