@@ -99,6 +99,129 @@ def _convert_resnet_block(sd: Mapping, prefix: str, has_res_conv: bool) -> Dict:
     return out
 
 
+def _convert_attn(sd: Mapping, prefix: str) -> Dict:
+    """Reference SelfAttention (model/UNetModified.py:140-169): GroupNorm,
+    bias-free 1x1 qkv conv, 1x1 out conv."""
+    return {
+        "GroupNorm_0": _norm(
+            sd[f"{prefix}.norm.weight"], sd[f"{prefix}.norm.bias"]
+        ),
+        "Conv_0": {
+            "kernel": jnp.asarray(
+                np.transpose(np.asarray(sd[f"{prefix}.qkv.weight"]),
+                             (2, 3, 1, 0))
+            )
+        },
+        "Conv_1": _conv(
+            sd[f"{prefix}.out.weight"], sd[f"{prefix}.out.bias"]
+        ),
+    }
+
+
+def _convert_rbwa(sd: Mapping, prefix: str, has_res_conv: bool,
+                  with_attn: bool) -> Dict:
+    out = {
+        "ResnetBlock_0": _convert_resnet_block(
+            sd, f"{prefix}.res_block", has_res_conv
+        )
+    }
+    if with_attn:
+        out["SelfAttention2D_0"] = _convert_attn(sd, f"{prefix}.attn")
+    return out
+
+
+def import_unet_modified_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    channel_mults=(1, 2, 4, 8, 8),
+    attn_layer=(4,),
+    res_blocks: int = 3,
+    inner_channel: int = 32,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference UNetModified state_dict (model/UNetModified.py:
+    186-323, the SR3-style attention UNet) to flax params for
+    :class:`sddm_tpu.models.UNetModified`."""
+    sd = _strip_prefix(state_dict, prefix)
+
+    params: Dict = {
+        # noise MLP: Sequential(PE, Linear, Swish, Linear) — NO final Swish
+        # (UNetModified.py:205-211)
+        "Dense_0": _dense(
+            sd["noise_level_mlp.1.weight"], sd["noise_level_mlp.1.bias"]
+        ),
+        "Dense_1": _dense(
+            sd["noise_level_mlp.3.weight"], sd["noise_level_mlp.3.bias"]
+        ),
+        "Conv_0": _conv(sd["downs.0.weight"], sd["downs.0.bias"]),
+    }
+
+    k = ds = us = 0
+    torch_idx = 1
+    n_in = inner_channel
+    num_mults = len(channel_mults)
+    for ind, mult in enumerate(channel_mults):
+        use_attn = ind in attn_layer
+        n_out = inner_channel * mult
+        for _ in range(res_blocks):
+            params[f"ResnetBlocWithAttn_{k}"] = _convert_rbwa(
+                sd, f"downs.{torch_idx}", n_in != n_out, use_attn
+            )
+            n_in = n_out
+            k += 1
+            torch_idx += 1
+        if ind != num_mults - 1:  # no downsample after the last level
+            params[f"Downsample_{ds}"] = {
+                "Conv_0": _conv(
+                    sd[f"downs.{torch_idx}.conv.weight"],
+                    sd[f"downs.{torch_idx}.conv.bias"],
+                )
+            }
+            ds += 1
+            torch_idx += 1
+
+    # mid: attn block then plain block (UNetModified.py:255-260)
+    params[f"ResnetBlocWithAttn_{k}"] = _convert_rbwa(sd, "mid.0", False, True)
+    k += 1
+    params[f"ResnetBlocWithAttn_{k}"] = _convert_rbwa(sd, "mid.1", False, False)
+    k += 1
+
+    # decoder: res_blocks+1 skip-concat blocks per level, upsample between
+    # levels (UnetModified.py:262-275); concat always changes channels
+    torch_idx = 0
+    for ind in reversed(range(num_mults)):
+        use_attn = ind in attn_layer
+        for _ in range(res_blocks + 1):
+            params[f"ResnetBlocWithAttn_{k}"] = _convert_rbwa(
+                sd, f"ups.{torch_idx}", True, use_attn
+            )
+            k += 1
+            torch_idx += 1
+        if ind >= 1:
+            params[f"Upsample_{us}"] = {
+                "Conv_0": _conv(
+                    sd[f"ups.{torch_idx}.conv.weight"],
+                    sd[f"ups.{torch_idx}.conv.bias"],
+                )
+            }
+            us += 1
+            torch_idx += 1
+
+    params["Block_0"] = {
+        "GroupNorm_0": _norm(
+            sd["final_conv.block.0.weight"], sd["final_conv.block.0.bias"]
+        ),
+        "Conv_0": _conv(
+            sd["final_conv.block.3.weight"]
+            if "final_conv.block.3.weight" in sd
+            else sd["final_conv.block.2.weight"],
+            sd["final_conv.block.3.bias"]
+            if "final_conv.block.3.bias" in sd
+            else sd["final_conv.block.2.bias"],
+        ),
+    }
+    return {"params": params}
+
+
 def import_unet_modified2_state(
     state_dict: Mapping[str, "np.ndarray"],
     channel_mults=(1, 2, 3, 4, 5),

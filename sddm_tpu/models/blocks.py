@@ -245,8 +245,11 @@ class SelfAttention2D(nn.Module):
         norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=jnp.float32)(x)
         norm = norm.astype(x.dtype)
         qkv = torch_conv(c, c * 3, (1, 1), use_bias=False, dtype=x.dtype)(norm)
-        qkv = qkv.reshape(b, h * w, self.n_head, head_dim, 3)
-        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]  # [B, HW, n, d]
+        # torch chunks the conv channels per head as [q(d), k(d), v(d)]
+        # blocks (UNetModified.py:155-156) — reshape (n_head, 3, d), NOT
+        # (n_head, d, 3), or imported qkv weights would be interleaved
+        qkv = qkv.reshape(b, h * w, self.n_head, 3, head_dim)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]  # [B,HW,n,d]
         attn = jnp.einsum("bsnd,btnd->bnst", q, k) / jnp.sqrt(
             jnp.asarray(c, x.dtype)
         )

@@ -18,11 +18,11 @@ from ..ops.framing import frame_signal, overlap_add
 from .blocks import (
     Block,
     Downsample,
-    PositionalEncoding,
     ResnetBlocWithAttn,
     Upsample,
     swish,
 )
+from .unet_sp import WaveGradPE
 
 
 class UNetModified(nn.Module):
@@ -56,9 +56,10 @@ class UNetModified(nn.Module):
         h = jnp.stack([cond_f, xt_f], axis=-1).astype(self.dtype)
 
         if self.with_noise_level_emb:
-            # PE -> Dense(4x) -> Swish -> Dense(1x), no trailing Swish
-            # (reference UNetModified.py:205-211)
-            t = PositionalEncoding(self.inner_channel)(
+            # WaveGrad-style PE (exp(-ln(1e4)*step), UNetModified.py:45-59
+            # — NOT UNetModified2's 1e4*10**(-4s/half) encoding) -> Dense(4x)
+            # -> Swish -> Dense(1x), no trailing Swish (:205-211)
+            t = WaveGradPE(self.inner_channel)(
                 noise_level.astype(self.dtype)
             )
             t = nn.Dense(self.inner_channel * 4, dtype=self.dtype)(t)

@@ -214,3 +214,62 @@ class TestCAUNetImport:
         )
         assert ours_out.shape == ref_out.shape
         np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
+class TestUNetModifiedImport:
+    """SR3-style attention UNet (reference model/UNetModified.py:186-323):
+    the 2-D self-attention einsum + blocked qkv head layout is the
+    distinct risk here."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.UNetModified import UNetModified as RefUNetModified
+
+        from sddm_tpu.compat.torch_import import import_unet_modified_state
+        from sddm_tpu.models import UNetModified
+
+        kw = dict(num_samples=104, inner_channel=8, norm_groups=4,
+                  channel_mults=(1, 2), res_blocks=1, dropout=0,
+                  segment_len=16, segment_stride=8)
+        torch.manual_seed(0)
+        ref = RefUNetModified(attn_layer=(0, 1), **kw).eval()
+        ours = UNetModified(attn_layer=(0, 1), **kw)
+        params = import_unet_modified_state(
+            ref.state_dict(), channel_mults=(1, 2), attn_layer=(0, 1),
+            res_blocks=1, inner_channel=8, prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_structure_covers_init(self, pair):
+        ref, ours, params = pair
+        init = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 1, 104)), jnp.zeros((1, 1, 104)),
+            jnp.ones((1, 1, 1)),
+        )
+        init_shapes = jax.tree_util.tree_map(lambda x: x.shape, init)
+        got_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
+        assert init_shapes == got_shapes
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(4)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 104)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 104)).astype(np.float32)
+        level = np.full((2, 1, 1), 0.7, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
