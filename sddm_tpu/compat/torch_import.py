@@ -321,3 +321,130 @@ def import_unet_modified2_state(
         ),
     }
     return {"params": params}
+
+
+def _convert_block(sd: Mapping, prefix: str) -> Dict:
+    """Reference Block Sequential: GroupNorm(0), Swish(1), Dropout/Identity
+    (2), Conv (3; or 2 in older checkpoints without the dropout slot)."""
+    return {
+        "GroupNorm_0": _norm(
+            sd[f"{prefix}.block.0.weight"], sd[f"{prefix}.block.0.bias"]
+        ),
+        "Conv_0": _conv(
+            sd[f"{prefix}.block.3.weight"]
+            if f"{prefix}.block.3.weight" in sd
+            else sd[f"{prefix}.block.2.weight"],
+            sd[f"{prefix}.block.3.bias"]
+            if f"{prefix}.block.3.bias" in sd
+            else sd[f"{prefix}.block.2.bias"],
+        ),
+    }
+
+
+def _convert_vrb(sd: Mapping, prefix: str, has_res_conv: bool) -> Dict:
+    """Variable-noise ResnetBlock (UNetModified2_withVariableNoiseLevel.py:
+    93-110): noise injected additively via a 1x1 conv on the per-segment
+    embedding (no FeatureWiseAffine)."""
+    out = {
+        "Block_0": _convert_block(sd, f"{prefix}.block1"),
+        "Conv_0": _conv(
+            sd[f"{prefix}.noise_func.weight"], sd[f"{prefix}.noise_func.bias"]
+        ),
+        "Block_1": _convert_block(sd, f"{prefix}.block2"),
+    }
+    if has_res_conv:
+        out["Conv_1"] = _conv(
+            sd[f"{prefix}.res_conv.weight"], sd[f"{prefix}.res_conv.bias"]
+        )
+    return out
+
+
+def import_unet_variable_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    channel_mults=(1, 2, 3, 4, 5),
+    res_blocks: int = 3,
+    inner_channel: int = 32,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference UNetModified2_VariableNoiseLevel state_dict
+    (model/UNetModified2_withVariableNoiseLevel.py:114-242) to flax params
+    for :class:`sddm_tpu.models.UNetModified2_VariableNoiseLevel`."""
+    sd = _strip_prefix(state_dict, prefix)
+
+    params: Dict = {
+        "NoiseLevelConvMLP_0": {
+            "Conv_0": _conv(
+                sd["noise_level_mlp.1.weight"], sd["noise_level_mlp.1.bias"]
+            ),
+            "Conv_1": _conv(
+                sd["noise_level_mlp.3.weight"], sd["noise_level_mlp.3.bias"]
+            ),
+        },
+        "Conv_0": _conv(sd["first_conv.weight"], sd["first_conv.bias"]),
+    }
+
+    rb = ds = us = 0
+    torch_idx = 0
+    n_in = inner_channel
+    num_mults = len(channel_mults)
+    # encoder: res_blocks blocks + a Downsample per level (EVERY level,
+    # including the last — unlike UNetModified)
+    for mult in channel_mults:
+        n_out = inner_channel * mult
+        for _ in range(res_blocks):
+            params[f"VariableResnetBlock_{rb}"] = _convert_vrb(
+                sd, f"downs.{torch_idx}", n_in != n_out
+            )
+            n_in = n_out
+            rb += 1
+            torch_idx += 1
+        params[f"Downsample_{ds}"] = {
+            "Conv_0": _conv(
+                sd[f"downs.{torch_idx}.conv.weight"],
+                sd[f"downs.{torch_idx}.conv.bias"],
+            )
+        }
+        params[f"DownsampleNoiseLevel_{ds}"] = {
+            "Conv_0": _conv(
+                sd[f"noise_level_down.{ds}.down.0.weight"],
+                sd[f"noise_level_down.{ds}.down.0.bias"],
+            )
+        }
+        ds += 1
+        torch_idx += 1
+
+    params[f"VariableResnetBlock_{rb}"] = _convert_vrb(sd, "mid.0", False)
+    rb += 1
+
+    # decoder: [skip-Resnet, Upsample(+noise pyramid), res_blocks x
+    # skip-Resnet] per level; concat always changes channels
+    torch_idx = 0
+    for _ in reversed(range(num_mults)):
+        params[f"VariableResnetBlock_{rb}"] = _convert_vrb(
+            sd, f"ups.{torch_idx}", True
+        )
+        rb += 1
+        torch_idx += 1
+        params[f"Upsample_{us}"] = {
+            "Conv_0": _conv(
+                sd[f"ups.{torch_idx}.conv.weight"],
+                sd[f"ups.{torch_idx}.conv.bias"],
+            )
+        }
+        params[f"UpsampleNoiseLevel_{us}"] = {
+            "Conv_0": _conv(
+                sd[f"noise_level_up.{us}.up.1.weight"],
+                sd[f"noise_level_up.{us}.up.1.bias"],
+            )
+        }
+        us += 1
+        torch_idx += 1
+        for _ in range(res_blocks):
+            params[f"VariableResnetBlock_{rb}"] = _convert_vrb(
+                sd, f"ups.{torch_idx}", True
+            )
+            rb += 1
+            torch_idx += 1
+
+    params["Block_0"] = _convert_block(sd, "final_conv")
+    return {"params": params}

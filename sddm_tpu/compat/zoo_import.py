@@ -339,3 +339,93 @@ def import_tstnn_state(
         "Conv_5": _conv2d(sd, "out_conv"),
     }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Waveunet / Waveunet2 (reference model/waveunet.py:358-506, waveunet2.py)
+# ---------------------------------------------------------------------------
+
+def _convT1d(sd, name):
+    w = _np(sd[f"{name}.weight"])  # torch ConvTranspose1d [I, O, k]
+    k = w.transpose(2, 0, 1)[::-1]  # [k, I, O] with spatial flip
+    return {"kernel": np.ascontiguousarray(k),
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _wu_convlayer(sd, name, conv_type="gn", transpose=False):
+    """Reference ConvLayer (waveunet.py:206-245): .filter conv (+ .norm when
+    conv_type='gn')."""
+    out = {
+        ("ConvTranspose_0" if transpose else "Conv_0"):
+            (_convT1d if transpose else _conv1d)(sd, f"{name}.filter")
+    }
+    if conv_type == "gn":
+        out["GroupNorm_0"] = _lnorm(sd, f"{name}.norm")
+    return out
+
+
+def _wu_film(sd, name):
+    return {"Conv_0": _conv1d(sd, f"{name}.input_conv"),
+            "Conv_1": _conv1d(sd, f"{name}.output_conv")}
+
+
+def import_waveunet_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    num_levels: int,
+    depth: int = 1,
+    conv_type: str = "gn",
+    res: str = "learned",
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference Waveunet state_dict to flax params for
+    :class:`sddm_tpu.models.Waveunet`.
+
+    ``res='fixed'`` sinc filters are non-learned buffers on our side; the
+    reference stores them as (frozen) Parameters — they are simply skipped
+    (the filter is deterministic from kernel_size/stride)."""
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+    W = "waveunet."
+
+    params: Dict = {"Conv_0": _conv1d(sd, f"{W}output_conv")}
+    for j in range(depth):
+        params[f"ConvLayer_{j}"] = _wu_convlayer(
+            sd, f"{W}bottlenecks.{j}", conv_type
+        )
+    for i in range(num_levels - 1):
+        down: Dict = {}
+        for j in range(depth):
+            down[f"ConvLayer_{j}"] = _wu_convlayer(
+                sd, f"{W}downsampling_blocks.{i}.pre_shortcut_convs.{j}",
+                conv_type,
+            )
+            down[f"ConvLayer_{depth + j}"] = _wu_convlayer(
+                sd, f"{W}downsampling_blocks.{i}.post_shortcut_convs.{j}",
+                conv_type,
+            )
+        if res != "fixed":
+            down[f"ConvLayer_{2 * depth}"] = _wu_convlayer(
+                sd, f"{W}downsampling_blocks.{i}.downconv", conv_type
+            )
+        params[f"_DownBlock_{i}"] = down
+        params[f"FiLM1D_{i}"] = _wu_film(sd, f"{W}film_blocks.{i}")
+
+        up: Dict = {}
+        base = 0
+        if res != "fixed":
+            up["ConvLayer_0"] = _wu_convlayer(
+                sd, f"{W}upsampling_blocks.{i}.upconv", conv_type,
+                transpose=True,
+            )
+            base = 1
+        for j in range(depth):
+            up[f"ConvLayer_{base + j}"] = _wu_convlayer(
+                sd, f"{W}upsampling_blocks.{i}.pre_shortcut_convs.{j}",
+                conv_type,
+            )
+            up[f"ConvLayer_{base + depth + j}"] = _wu_convlayer(
+                sd, f"{W}upsampling_blocks.{i}.post_shortcut_convs.{j}",
+                conv_type,
+            )
+        params[f"_UpBlock_{i}"] = up
+    return {"params": params}

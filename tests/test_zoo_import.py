@@ -273,3 +273,177 @@ class TestUNetModifiedImport:
         )
         assert ours_out.shape == ref_out.shape
         np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
+class TestWaveunetImport:
+    """FiLM Wave-U-Net (reference model/waveunet.py:358-506): learned
+    transposed-conv resampling (the shipped config_waveunet.json path) and
+    the fixed sinc-resampler variant."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.waveunet import Waveunet as RefWaveunet
+
+        from sddm_tpu.compat.zoo_import import import_waveunet_state
+        from sddm_tpu.models import Waveunet
+
+        torch.manual_seed(0)
+        ref = RefWaveunet(2, [8, 16, 24], 5, 64, "gn", "learned",
+                          depth=1).eval()
+        ours = Waveunet(num_inputs=2, num_channels=(8, 16, 24),
+                        kernel_size=5, conv_type="gn", res="learned",
+                        depth=1)
+        params = import_waveunet_state(
+            ref.state_dict(), num_levels=3, depth=1, conv_type="gn",
+            res="learned", prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(5)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 64)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 64)).astype(np.float32)
+        level = np.full((2, 1, 1), 0.7, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+    def test_resample_sinc_matches(self):
+        """ResampleSinc down + transpose legs vs the reference module in
+        isolation (waveunet.py:107-160).  The full res='fixed' Waveunet is
+        untestable end-to-end: the reference ctor's geometry self-check
+        (waveunet.py:401-426) uses a get_output_size that omits the sinc
+        stride division, so construction ALWAYS asserts — res='fixed' is
+        dead code in the reference (shipped configs use 'learned')."""
+        from model.waveunet import ResampleSinc as RefResample
+
+        from sddm_tpu.models.waveunet import ResampleSinc
+
+        rng = np.random.RandomState(7)
+        x = rng.uniform(-1, 1, (2, 8, 65)).astype(np.float32)
+
+        ref_dn = RefResample(8, 15, 2).eval()
+        with torch.no_grad():
+            r = ref_dn(torch.from_numpy(x)).numpy()
+        ours_dn = ResampleSinc(8, 15, 2)
+        o = np.asarray(ours_dn.apply(
+            {}, jnp.asarray(x.transpose(0, 2, 1))
+        )).transpose(0, 2, 1)
+        np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-5)
+
+        y = rng.uniform(-1, 1, (2, 8, 33)).astype(np.float32)
+        ref_up = RefResample(8, 15, 2, transpose=True).eval()
+        with torch.no_grad():
+            r = ref_up(torch.from_numpy(y)).numpy()
+        ours_up = ResampleSinc(8, 15, 2, transpose=True)
+        o = np.asarray(ours_up.apply(
+            {}, jnp.asarray(y.transpose(0, 2, 1))
+        )).transpose(0, 2, 1)
+        np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-5)
+
+
+class TestUNetVariableImport:
+    """Per-segment variable-noise UNet (reference
+    model/UNetModified2_withVariableNoiseLevel.py:114-242): the parallel
+    noise-level pyramid is the distinct risk; backs the SNR-adaptive CLI
+    pair."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.UNetModified2_withVariableNoiseLevel import (
+            UNetModified2_VariableNoiseLevel as RefVar,
+        )
+
+        from sddm_tpu.compat.torch_import import import_unet_variable_state
+        from sddm_tpu.models import UNetModified2_VariableNoiseLevel
+
+        torch.manual_seed(0)
+        ref = RefVar(in_channel=2, out_channel=1, inner_channel=8,
+                     norm_groups=4, channel_mults=(1, 2), res_blocks=1,
+                     dropout=0).eval()
+        ours = UNetModified2_VariableNoiseLevel(
+            inner_channel=8, norm_groups=4, channel_mults=(1, 2),
+            res_blocks=1,
+        )
+        params = import_unet_variable_state(
+            ref.state_dict(), channel_mults=(1, 2), res_blocks=1,
+            inner_channel=8, prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_structure_covers_init(self, pair):
+        ref, ours, params = pair
+        init = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 1, 8, 16)), jnp.zeros((1, 1, 8, 16)),
+            jnp.ones((1, 1, 8, 1)),
+        )
+        init_shapes = jax.tree_util.tree_map(lambda x: x.shape, init)
+        got_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
+        assert init_shapes == got_shapes
+
+    def _run(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(8)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 8, 16)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 8, 16)).astype(np.float32)
+        level = rng.uniform(0.1, 0.9, (2, 1, 8, 1)).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        return ours_out, ref_out
+
+    def test_forward_outputs_close(self, pair):
+        """Unmodified comparison.  The 1e7-scale positional encoding
+        (UNetModified2_withVariableNoiseLevel.py:17) computes sin/cos of
+        ~1e7-magnitude f32 arguments; torch's powf builds the frequency
+        vector 1 ulp off the correctly-rounded value (measured), which
+        shifts those arguments by O(0.2) rad — an ill-conditioning inherent
+        to the reference design (its own CPU-vs-CUDA runs diverge the same
+        way).  Hence the loose tolerance here; exactness of everything
+        downstream is proven by test_forward_outputs_match_synced_pe."""
+        ours_out, ref_out = self._run(pair)
+        np.testing.assert_allclose(ours_out, ref_out, rtol=5e-2, atol=2e-2)
+
+    def test_forward_outputs_match_synced_pe(self, pair):
+        """Sync the reference's PE frequency vector to ours, then require
+        elementwise equality — isolates the powf-ulp divergence and proves
+        the rest of the network matches exactly."""
+        ref, ours, params = pair
+        half = 128 // 2
+        step = np.arange(half, dtype=np.float32)
+        vec = np.asarray(1e7 * 10.0 ** (-step * 4.0 / half), np.float32)
+        pe = ref.noise_level_mlp[0]
+        old = pe.embedding_vector
+        pe.embedding_vector = torch.from_numpy(vec).view(1, -1, 1, 1)
+        try:
+            ours_out, ref_out = self._run(pair)
+        finally:
+            pe.embedding_vector = old
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
