@@ -82,9 +82,20 @@ def build_diffusion(config) -> DiffusionSchedule:
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
-def build_network(config, **kwargs):
+def build_network(config, role="infer", **kwargs):
     """Construct the denoiser; a top-level ``"dtype": "bfloat16"`` config key
     selects the network compute dtype (params/norms stay f32).
+
+    ``role``: "infer" (default) or "train".  With ``"packed": true`` the
+    space-to-depth engine is used for inference/serving; for TRAINING the
+    plain network is used instead — this container's axon PJRT runtime
+    miscomputes the packed train step at flagship scale (forward loss and
+    all gradients go NaN wholesale at step ~3 with fully-finite inputs,
+    params, and batch; CPU replay of the same state is finite; donation
+    on/off makes no difference — diagnostics in artifacts/nan_repro/).
+    Checkpoints are identical either way (the packed engines repack the
+    plain parameter tree on the fly), so plain-trained checkpoints serve
+    packed.
 
     Extra kwargs (num_samples etc.) are filtered against the module's
     dataclass fields — the reference passes num_samples to every network
@@ -117,6 +128,15 @@ def build_network(config, **kwargs):
             )
         if getattr(net, "dropout", 0):
             raise ValueError("packed training requires dropout=0")
+        if role == "train":
+            import logging
+
+            logging.getLogger("cli").warning(
+                "packed TRAINING is disabled on this runtime (axon PJRT "
+                "NaN, artifacts/nan_repro/); training the plain network — "
+                "checkpoints remain packed-infer compatible"
+            )
+            return net
         if net_cfg["type"] == "UNetModified2":
             from .models.unet_packed import PackedTrainUNetModified2
 

@@ -39,7 +39,7 @@ def main(config):
     logger.info("Finished initializing datasets")
 
     diffusion = build_diffusion(config)
-    network = build_network(config, num_samples=config["num_samples"])
+    network = build_network(config, role="train", num_samples=config["num_samples"])
     model = build_arch(config, diffusion, network)
 
     criterion = build_loss(config)

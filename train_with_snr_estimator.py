@@ -40,7 +40,7 @@ def main(config, snr_estimator_checkpoint):
     val_data_loader = build_data_loader(config, "data_loader", val_dataset)
     logger.info("Finished initializing datasets")
 
-    network = build_network(config)
+    network = build_network(config, role="train")
     segmentor = Segmentor(
         num_samples=config["num_samples"], **dict(config["segmentor"]["args"])
     )
