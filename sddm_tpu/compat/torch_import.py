@@ -448,3 +448,246 @@ def import_unet_variable_state(
 
     params["Block_0"] = _convert_block(sd, "final_conv")
     return {"params": params}
+
+
+def import_unet_sp_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    channel_mults=(1, 2, 3, 4, 5),
+    res_blocks: int = 3,
+    inner_channel: int = 32,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference UNetSP state_dict (model/UNet_SubpixelConv.py:
+    141-267, sub-pixel-shuffle decoder) to flax params for
+    :class:`sddm_tpu.models.UNetSP`."""
+    sd = _strip_prefix(state_dict, prefix)
+
+    params: Dict = {
+        # PE -> Linear(4x) -> Swish -> Linear — no final Swish (:162-167)
+        "Dense_0": _dense(
+            sd["noise_level_mlp.1.weight"], sd["noise_level_mlp.1.bias"]
+        ),
+        "Dense_1": _dense(
+            sd["noise_level_mlp.3.weight"], sd["noise_level_mlp.3.bias"]
+        ),
+        "Conv_0": _conv(sd["downs.0.weight"], sd["downs.0.bias"]),
+    }
+
+    rb = ds = 0
+    torch_idx = 1
+    n_in = inner_channel
+    # encoder: res_blocks ResnetBlocks + a Downsample per level (every
+    # level, :180-192)
+    for mult in channel_mults:
+        n_out = inner_channel * mult
+        for _ in range(res_blocks):
+            params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+                sd, f"downs.{torch_idx}", n_in != n_out
+            )
+            n_in = n_out
+            rb += 1
+            torch_idx += 1
+        params[f"Downsample_{ds}"] = {
+            "Conv_0": _conv(
+                sd[f"downs.{torch_idx}.conv.weight"],
+                sd[f"downs.{torch_idx}.conv.bias"],
+            )
+        }
+        ds += 1
+        torch_idx += 1
+
+    params[f"ResnetBlock_{rb}"] = _convert_resnet_block(sd, "mid.0", False)
+    rb += 1
+
+    # decoder: [skip-Resnet -> 4x channels, PixelShuffle (no params),
+    # res_blocks skip-Resnets] per level (:203-229); concat always changes
+    # channels so every decoder block has a res_conv
+    torch_idx = 0
+    for _ in reversed(range(len(channel_mults))):
+        for block_i in range(res_blocks + 1):
+            params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+                sd, f"ups.{torch_idx}", True
+            )
+            rb += 1
+            torch_idx += 1
+            if block_i == 0:
+                torch_idx += 1  # skip the parameterless Upsample module slot
+
+    params["Block_0"] = {
+        "GroupNorm_0": _norm(
+            sd["final_conv.block.0.weight"], sd["final_conv.block.0.bias"]
+        ),
+        "Conv_0": _conv(
+            sd["final_conv.block.3.weight"]
+            if "final_conv.block.3.weight" in sd
+            else sd["final_conv.block.2.weight"],
+            sd["final_conv.block.3.bias"]
+            if "final_conv.block.3.bias" in sd
+            else sd["final_conv.block.2.bias"],
+        ),
+    }
+    return {"params": params}
+
+
+def import_unet_tst_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    channel_mults=(1, 2, 3, 4, 5),
+    res_blocks: int = 3,
+    inner_channel: int = 32,
+    n_TSTB: int = 6,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference UNetTST state_dict (model/UNetTST.py:270-392,
+    UNetModified2-style encoder/decoder around a Dual_Transformer mid) to
+    flax params for :class:`sddm_tpu.models.UNetTST`."""
+    from .zoo_import import _conv2d, _encoder_layer, _lnorm, _prelu
+
+    sd = _strip_prefix(state_dict, prefix)
+
+    params: Dict = {
+        "Dense_0": _dense(
+            sd["noise_level_mlp.1.weight"], sd["noise_level_mlp.1.bias"]
+        ),
+        "Dense_1": _dense(
+            sd["noise_level_mlp.3.weight"], sd["noise_level_mlp.3.bias"]
+        ),
+        "Conv_0": _conv(sd["downs.0.weight"], sd["downs.0.bias"]),
+    }
+
+    rb = ds = us = 0
+    torch_idx = 1
+    n_in = inner_channel
+    for mult in channel_mults:
+        n_out = inner_channel * mult
+        for _ in range(res_blocks):
+            params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+                sd, f"downs.{torch_idx}", n_in != n_out
+            )
+            n_in = n_out
+            rb += 1
+            torch_idx += 1
+        params[f"Downsample_{ds}"] = {
+            "Conv_0": _conv(
+                sd[f"downs.{torch_idx}.conv.weight"],
+                sd[f"downs.{torch_idx}.conv.bias"],
+            )
+        }
+        ds += 1
+        torch_idx += 1
+
+    # mid Dual_Transformer: shared-slope PReLUs, output Conv THEN PReLU
+    # (UNetTST.py:190-210)
+    mid: Dict = {
+        "Conv_0": _conv2d(sd, "mid.input.0"),
+        "PReLU_0": _prelu(sd, "mid.input.1"),
+        "Conv_1": _conv2d(sd, "mid.output.0"),
+        "PReLU_1": _prelu(sd, "mid.output.1"),
+    }
+    for i in range(n_TSTB):
+        mid[f"TransformerEncoderLayerGRU_{2 * i}"] = _encoder_layer(
+            sd, f"mid.row_trans.{i}"
+        )
+        mid[f"TransformerEncoderLayerGRU_{2 * i + 1}"] = _encoder_layer(
+            sd, f"mid.col_trans.{i}"
+        )
+        mid[f"GroupNorm1_{2 * i}"] = _lnorm(sd, f"mid.row_norm.{i}")
+        mid[f"GroupNorm1_{2 * i + 1}"] = _lnorm(sd, f"mid.col_norm.{i}")
+    params["DualTransformer_0"] = mid
+
+    torch_idx = 0
+    for _ in reversed(range(len(channel_mults))):
+        params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+            sd, f"ups.{torch_idx}", True
+        )
+        rb += 1
+        torch_idx += 1
+        params[f"Upsample_{us}"] = {
+            "Conv_0": _conv(
+                sd[f"ups.{torch_idx}.conv.weight"],
+                sd[f"ups.{torch_idx}.conv.bias"],
+            )
+        }
+        us += 1
+        torch_idx += 1
+        for _ in range(res_blocks):
+            params[f"ResnetBlock_{rb}"] = _convert_resnet_block(
+                sd, f"ups.{torch_idx}", True
+            )
+            rb += 1
+            torch_idx += 1
+
+    params["Block_0"] = _convert_block(sd, "final_conv")
+    return {"params": params}
+
+
+def _convert_snr_resnet(sd: Mapping, prefix: str, has_res_conv: bool) -> Dict:
+    """SNR-estimator ResnetBlock: single Block + optional res_conv, no noise
+    injection (snr_estimator.py:37-47)."""
+    out = {"Block_0": _convert_block(sd, f"{prefix}.block1")}
+    if has_res_conv:
+        out["Conv_0"] = _conv(
+            sd[f"{prefix}.res_conv.weight"], sd[f"{prefix}.res_conv.bias"]
+        )
+    return out
+
+
+def import_snr_estimator_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    channel_mults=(1, 2, 3, 4, 5),
+    res_blocks: int = 3,
+    inner_channel: int = 32,
+    prefix: str = "snr_estimator.",
+) -> Dict:
+    """Convert a reference SNREstimator state_dict (model/snr_estimator.py:
+    70-129) to flax params for :class:`sddm_tpu.models.SNREstimator`.
+
+    The SNRBlock dense head needs a permutation: torch flattens its
+    [B, C, N', 1] conv output channel-major (index c*N'+n) while the NHWC
+    implementation flattens segment-major (n*C+c)."""
+    sd = _strip_prefix(state_dict, prefix)
+
+    params: Dict = {
+        "Conv_0": _conv(sd["downs.0.weight"], sd["downs.0.bias"]),
+    }
+    rb = ds = 0
+    torch_idx = 1
+    n_in = inner_channel
+    for mult in channel_mults:
+        n_out = inner_channel * mult
+        for _ in range(res_blocks):
+            params[f"SNRResnetBlock_{rb}"] = _convert_snr_resnet(
+                sd, f"downs.{torch_idx}", n_in != n_out
+            )
+            n_in = n_out
+            rb += 1
+            torch_idx += 1
+        params[f"Downsample_{ds}"] = {
+            "Conv_0": _conv(
+                sd[f"downs.{torch_idx}.conv.weight"],
+                sd[f"downs.{torch_idx}.conv.bias"],
+            )
+        }
+        ds += 1
+        torch_idx += 1
+
+    params[f"SNRResnetBlock_{rb}"] = _convert_snr_resnet(sd, "mid.0", False)
+
+    dw = np.asarray(sd["final_block.dense.weight"])  # [out, C*N']
+    db = np.asarray(sd["final_block.dense.bias"])
+    c_out = np.asarray(sd["final_block.block.0.weight"]).shape[0]
+    n_prime = dw.shape[1] // c_out
+    kernel = (
+        dw.reshape(dw.shape[0], c_out, n_prime)  # [out, C, N']
+        .transpose(2, 1, 0)                       # [N', C, out]
+        .reshape(n_prime * c_out, dw.shape[0])
+    )
+    params["SNRBlock_0"] = {
+        "Conv_0": _conv(
+            sd["final_block.block.0.weight"], sd["final_block.block.0.bias"]
+        ),
+        "GroupNorm_0": _norm(
+            sd["final_block.block.1.weight"], sd["final_block.block.1.bias"]
+        ),
+        "Dense_0": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(db)},
+    }
+    return {"params": params}

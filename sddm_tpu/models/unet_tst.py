@@ -65,8 +65,12 @@ class UNetTST(nn.Module):
             h = Downsample(n_out)(h)
             feats.append(h)
 
+        # UNetTST's Dual_Transformer output Sequential is Conv THEN a
+        # shared-slope PReLU (UNetTST.py:207-210) — unlike TSTNN's
+        # PReLU-then-Conv and CAUNet's per-channel variant
         h = DualTransformer(h.shape[-1], h.shape[-1],
-                            num_layers=self.n_TSTB)(h, deterministic)
+                            num_layers=self.n_TSTB,
+                            output_conv_first=True)(h, deterministic)
 
         num_mults = len(self.channel_mults)
         for ind in reversed(range(num_mults)):

@@ -447,3 +447,146 @@ class TestUNetVariableImport:
         finally:
             pe.embedding_vector = old
         np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
+class TestUNetSPImport:
+    """Sub-pixel-shuffle UNet (reference model/UNet_SubpixelConv.py:141-267):
+    PixelShuffle channel->space ordering is the distinct risk."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.UNet_SubpixelConv import UNetSP as RefUNetSP
+
+        from sddm_tpu.compat.torch_import import import_unet_sp_state
+        from sddm_tpu.models import UNetSP
+
+        kw = dict(num_samples=104, inner_channel=8, norm_groups=4,
+                  channel_mults=(1, 2), res_blocks=1, dropout=0,
+                  segment_len=16, segment_stride=8)
+        torch.manual_seed(0)
+        ref = RefUNetSP(**kw).eval()
+        ours = UNetSP(**kw)
+        params = import_unet_sp_state(
+            ref.state_dict(), channel_mults=(1, 2), res_blocks=1,
+            inner_channel=8, prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(9)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 104)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 104)).astype(np.float32)
+        level = np.full((2, 1, 1), 0.7, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
+class TestUNetTSTImport:
+    """UNetModified2-style UNet with a Dual_Transformer mid (reference
+    model/UNetTST.py:270-392): its output Sequential is Conv->PReLU
+    (shared slope) — a third Dual_Transformer variant."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.UNetTST import UNetTST as RefUNetTST
+
+        from sddm_tpu.compat.torch_import import import_unet_tst_state
+        from sddm_tpu.models import UNetTST
+
+        kw = dict(num_samples=104, inner_channel=8, norm_groups=4,
+                  channel_mults=(1, 2), n_TSTB=1, res_blocks=1, dropout=0,
+                  segment_len=16, segment_stride=8)
+        torch.manual_seed(0)
+        ref = RefUNetTST(**kw).eval()
+        ours = UNetTST(**kw)
+        params = import_unet_tst_state(
+            ref.state_dict(), channel_mults=(1, 2), res_blocks=1,
+            inner_channel=8, n_TSTB=1, prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        """GRU bias-fold deficit: 2 encoder layers x 2 dirs x 2H, H=2*d
+        with d = (inner*mults[-1])//2 = 8."""
+        ref, _, params = pair
+        d = (8 * 2) // 2
+        fold_deficit = 2 * 2 * 2 * (2 * d)
+        assert _count(params) == (
+            sum(p.numel() for p in ref.parameters()) - fold_deficit
+        )
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(10)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 104)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 104)).astype(np.float32)
+        level = np.full((2, 1, 1), 0.7, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
+class TestSNREstimatorImport:
+    """Per-segment SNR estimator (reference model/snr_estimator.py:70-129):
+    the channel-major vs segment-major dense-head flattening is the
+    distinct risk."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.snr_estimator import SNREstimator as RefSNR
+
+        from sddm_tpu.compat.torch_import import import_snr_estimator_state
+        from sddm_tpu.models import SNREstimator
+
+        # geometry: after len(mults) halvings, N' (=8) must be >= L' (=4)
+        # for the reference's (L',L') SNRBlock kernel to fit
+        kw = dict(n_segments=32, segment_len=16, inner_channel=8,
+                  norm_groups=4, channel_mults=(1, 2), res_blocks=1,
+                  dropout=0)
+        torch.manual_seed(0)
+        ref = RefSNR(**kw).eval()
+        ours = SNREstimator(**kw)
+        params = import_snr_estimator_state(
+            ref.state_dict(), channel_mults=(1, 2), res_blocks=1,
+            inner_channel=8, prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(11)
+        x = rng.uniform(-0.5, 0.5, (2, 1, 32, 16)).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = np.asarray(ours.apply(params, jnp.asarray(x)))
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
