@@ -16,7 +16,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from .wav_io import load_wav, load_wav_crop, wav_num_frames
+from .wav_io import load_wav, load_wav_crop, load_wav_i16, wav_num_frames
 
 _DATATYPES = (".wav", ".logwav.npy", ".spec.npy", ".mel.npy")
 
@@ -40,9 +40,14 @@ class AudioDataset:
     ``rng`` drives the random crop; per-epoch reseeding lives in the loader.
     """
 
-    def __init__(self, data_root, datatype, sample_rate=8000, T=-1, seed=0):
+    def __init__(self, data_root, datatype, sample_rate=8000, T=-1, seed=0,
+                 cache=None):
         if datatype not in _DATATYPES:
             raise NotImplementedError(datatype)
+        if cache not in (None, "ram"):
+            raise ValueError(f"cache must be None or 'ram', got {cache!r}")
+        if cache == "ram" and datatype != ".wav":
+            raise ValueError("cache='ram' is only supported for .wav data")
         self.datatype = datatype
         self.sample_rate = sample_rate
         self.T = T
@@ -51,6 +56,27 @@ class AudioDataset:
         self.inventory = generate_inventory(self.clean_path, datatype)
         self.data_len = len(self.inventory)
         self.rng = np.random.default_rng(seed)
+        # RAM cache: decoded int16 PCM per file pair, filled lazily on first
+        # touch (first epoch pays the decode, later epochs crop from memory
+        # and batches leave the host as int16 — 4x fewer tunnel bytes than
+        # float32; the train step dequantizes on device, bit-identically)
+        self.cache = cache
+        self._cache_store = {} if cache else None
+
+    def _cached_pair_i16(self, index):
+        hit = self._cache_store.get(index)
+        if hit is None:
+            name = self.inventory[index]
+            clean, sr1 = load_wav_i16(self.clean_path / name)
+            noisy, sr2 = load_wav_i16(self.noisy_path / name)
+            for sr in (sr1, sr2):
+                if sr != self.sample_rate:
+                    raise ValueError(f"{name}: rate {sr} != {self.sample_rate}")
+            if noisy.shape[-1] != clean.shape[-1]:
+                raise ValueError("clean/noisy length mismatch")
+            hit = (clean, noisy)
+            self._cache_store[index] = hit  # dict set is atomic under the GIL
+        return hit
 
     def __len__(self):
         return self.data_len
@@ -72,6 +98,19 @@ class AudioDataset:
         return clean.astype(np.float32), noisy.astype(np.float32)
 
     def __getitem__(self, index):
+        if self.cache == "ram":
+            clean, noisy = self._cached_pair_i16(index)
+            n = clean.shape[-1]
+            if n > self.T > 0:
+                start = int(self.rng.integers(0, n - self.T))
+                clean = clean[:, start : start + self.T]
+                noisy = noisy[:, start : start + self.T]
+            elif self.T > n > 0:
+                pad = self.T - n
+                clean = np.pad(clean, ((0, 0), (0, pad)))
+                noisy = np.pad(noisy, ((0, 0), (0, pad)))
+            return np.ascontiguousarray(clean), np.ascontiguousarray(noisy), index
+
         if self.datatype == ".wav" and self.T > 0:
             # crop pushdown: read the header, pick the crop window, decode
             # only those bytes (native decoder seeks; scipy fallback slices)

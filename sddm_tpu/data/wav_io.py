@@ -40,6 +40,24 @@ def load_wav(path) -> Tuple[np.ndarray, int]:
     return audio, int(sr)
 
 
+def load_wav_i16(path) -> Tuple[np.ndarray, int]:
+    """Read a PCM16 WAV without float conversion -> ([channels, samples]
+    int16, rate).
+
+    Backing store for the RAM sample cache: int16 halves resident memory vs
+    float32 and quarters the per-step host->device transfer vs float32 over
+    the accelerator tunnel; the jitted train step dequantizes on device with
+    the same /32768 scale as :func:`load_wav`, so values are bit-identical.
+    """
+    sr, data = wavfile.read(str(path))
+    if data.dtype != np.int16:
+        raise ValueError(
+            f"{path}: RAM cache requires PCM16 WAVs, got {data.dtype}"
+        )
+    audio = data[None, :] if data.ndim == 1 else data.T
+    return np.ascontiguousarray(audio), int(sr)
+
+
 def load_wav_crop(path, start: int, length: int) -> Tuple[np.ndarray, int]:
     """Read only frames [start, start+length) — the native decoder seeks
     straight to the needed bytes, so random training crops never decode the

@@ -126,7 +126,21 @@ class Trainer(BaseTrainer):
         self._valid_step = jax.jit(self._valid_step_impl)
 
     # ---- jitted steps -----------------------------------------------------
+    @staticmethod
+    def _dequant(x):
+        """int16 PCM batches (RAM-cached loader) -> float32 on device.
+
+        /32768 matches wav_io.load_wav exactly, so cached-int16 training is
+        bit-identical to the float32 path while moving 4x fewer bytes per
+        step over the host->device tunnel. dtype is static at trace time."""
+        if x.dtype == jnp.int16:
+            return x.astype(jnp.float32) / 32768.0
+        return x
+
     def _train_step_impl(self, state, key, target, condition):
+        target = self._dequant(target)
+        condition = self._dequant(condition)
+
         def loss_fn(params):
             predicted, noise = self.model.forward(
                 params, key, target, condition, deterministic=False
@@ -142,6 +156,8 @@ class Trainer(BaseTrainer):
         )
 
     def _valid_step_impl(self, params, key, target, condition):
+        target = self._dequant(target)
+        condition = self._dequant(condition)
         output = self.model.infer(params, key, condition)
         loss = self.criterion(output, target)
         mets = {
@@ -225,6 +241,8 @@ class Trainer(BaseTrainer):
 
             out_np = np.asarray(output)
             tgt_np = np.asarray(target)
+            if tgt_np.dtype == np.int16:  # RAM-cached loader emits PCM16
+                tgt_np = tgt_np.astype(np.float32) / 32768.0
             for i in range(tgt_np.shape[0]):
                 save_wav(
                     self.output_path / f"{batch_idx}_{i}.wav",
