@@ -429,3 +429,176 @@ def import_waveunet_state(
             )
         params[f"_UpBlock_{i}"] = up
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# DenoiseWaveGrad1/2/3 (reference model/wavegrad.py:184-353)
+# ---------------------------------------------------------------------------
+
+def import_denoise_wavegrad_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    version: int,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference DenoiseWaveGrad{1,2,3} state_dict to flax params
+    for :class:`sddm_tpu.models.DenoiseWaveGrad{1,2,3}` (fixed topologies,
+    wavegrad.py:184-242 / :245-304 / :307-353).
+
+    Flax compact naming per version (call order in our forward):
+      v1: Conv_0 = y stem, Conv_1 = x stem, Conv_2 = last_conv;
+          DBlock_0..3 = y branch, DBlock_4..8 = x branch (downsample_x.1..5)
+      v2: Conv_0 = stem, Conv_1 = last_conv; DBlock_0..7; FiLM_0..8; UBlock_0..8
+      v3: Conv_0 = stem, Conv_1 = last_conv; DBlock_0..3 + DBlock_4 = bottleneck
+    """
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+    if version == 1:
+        n_levels = 5
+        params: Dict = {
+            "Conv_0": _conv1d(sd, "downsample.0"),
+            "Conv_1": _conv1d(sd, "downsample_x.0"),
+            "Conv_2": _conv1d(sd, "last_conv"),
+        }
+        for i in range(4):
+            params[f"DBlock_{i}"] = _dblock(sd, f"downsample.{i + 1}")
+        for i in range(5):
+            params[f"DBlock_{4 + i}"] = _dblock(sd, f"downsample_x.{i + 1}")
+    elif version == 2:
+        n_levels = 9
+        params = {
+            "Conv_0": _conv1d(sd, "downsample.0"),
+            "Conv_1": _conv1d(sd, "last_conv"),
+        }
+        for i in range(8):
+            params[f"DBlock_{i}"] = _dblock(sd, f"downsample.{i + 1}")
+    elif version == 3:
+        n_levels = 5
+        params = {
+            "Conv_0": _conv1d(sd, "downsample.0"),
+            "Conv_1": _conv1d(sd, "last_conv"),
+        }
+        for i in range(4):
+            params[f"DBlock_{i}"] = _dblock(sd, f"downsample.{i + 1}")
+        params["DBlock_4"] = _dblock(sd, "bottleneck")
+    else:
+        raise ValueError(f"version must be 1, 2, or 3, got {version}")
+    for i in range(n_levels):
+        params[f"FiLM_{i}"] = _film(sd, f"film.{i}")
+        params[f"UBlock_{i}"] = _ublock(sd, f"upsample.{i}")
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Waveunet2 (reference model/waveunet2.py:226-324)
+# ---------------------------------------------------------------------------
+
+def import_waveunet2_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    num_levels: int,
+    depth: int = 1,
+    conv_type: str = "gn",
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference Waveunet2 state_dict to flax params for
+    :class:`sddm_tpu.models.Waveunet2`.
+
+    Waveunet2 is structurally the FiLM Wave-U-Net with the resample convs
+    wrapped in Up/DownsampleLayer modules (waveunet2.py:125-147), so the keys
+    gain ``.down``/``.up`` path segments; strip them and delegate."""
+    sd = {
+        k.replace(".downconv.down.", ".downconv.")
+         .replace(".upconv.up.", ".upconv."): v
+        for k, v in state_dict.items()
+    }
+    return import_waveunet_state(
+        sd, num_levels, depth=depth, conv_type=conv_type, res="learned",
+        prefix=prefix,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Waveunet3 (reference model/waveunet3.py:314-416)
+# ---------------------------------------------------------------------------
+
+def _w3_block(sd, name):
+    """Block (waveunet3.py:59-70): Sequential(GroupNorm, Swish,
+    Dropout|Identity, Conv1d) -> indices 0 and 3."""
+    return {"GroupNorm_0": _lnorm(sd, f"{name}.block.0"),
+            "Conv_0": _conv1d(sd, f"{name}.block.3")}
+
+
+def _w3_resnet(sd, name, has_res):
+    out = {
+        "Block1D_0": _w3_block(sd, f"{name}.block1"),
+        "FeatureWiseAffine1D_0": {
+            "Dense_0": _dense(sd, f"{name}.noise_func.noise_func.0")
+        },
+        "Block1D_1": _w3_block(sd, f"{name}.block2"),
+    }
+    if has_res:
+        out["Conv_0"] = _conv1d(sd, f"{name}.res_conv")
+    return out
+
+
+def _w3_attn(sd, name):
+    w = _np(sd[f"{name}.qkv.weight"])  # [3C, C, 1], bias-free
+    return {"GroupNorm_0": _lnorm(sd, f"{name}.norm"),
+            "Conv_0": {"kernel": w.transpose(2, 1, 0)},
+            "Conv_1": _conv1d(sd, f"{name}.out")}
+
+
+def _w3_rbwa(sd, name, has_res, with_attn):
+    out = {"ResnetBlock1D_0": _w3_resnet(sd, f"{name}.res_block", has_res)}
+    if with_attn:
+        out["SelfAttention1D_0"] = _w3_attn(sd, f"{name}.attn")
+    return out
+
+
+def import_waveunet3_state(
+    state_dict: Mapping[str, "np.ndarray"],
+    num_channels,
+    num_inputs: int = 2,
+    with_attn: bool = True,
+    prefix: str = "noise_estimate_model.",
+) -> Dict:
+    """Convert a reference Waveunet3 state_dict to flax params for
+    :class:`sddm_tpu.models.Waveunet3` (ResnetBlocWithAttn Wave-U-Net,
+    waveunet3.py:314-416; additive skips, raw-scalar noise level)."""
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+    W = "waveunet."
+    ch = list(num_channels)
+    L = len(ch)
+
+    params: Dict = {"Conv_0": _conv1d(sd, f"{W}output_conv")}
+    for i in range(L - 1):
+        d = f"{W}downsampling_blocks.{i}"
+        in_ch = num_inputs if i == 0 else ch[i]
+        params[f"ResnetBlocWithAttn1D_{2 * i}"] = _w3_rbwa(
+            sd, f"{d}.pre_shortcut.0", in_ch != ch[i], with_attn
+        )
+        params[f"ResnetBlocWithAttn1D_{2 * i + 1}"] = _w3_rbwa(
+            sd, f"{d}.post_shortcut.0", ch[i] != ch[i + 1], with_attn
+        )
+        params[f"ConvLayer_{i}"] = _wu_convlayer(
+            sd, f"{d}.downconv.down", "gn"
+        )
+    params[f"ResnetBlocWithAttn1D_{2 * (L - 1)}"] = _w3_rbwa(
+        sd, f"{W}bottlenecks.0", False, with_attn
+    )
+    params[f"ResnetBlocWithAttn1D_{2 * L - 1}"] = _w3_rbwa(
+        sd, f"{W}bottlenecks.1", False, False  # bottleneck 2 never has attn
+    )
+    for j in range(L - 1):
+        i = L - 1 - j
+        u = f"{W}upsampling_blocks.{j}"
+        params[f"ConvLayer_{L - 1 + j}"] = _wu_convlayer(
+            sd, f"{u}.upconv.up", "gn", transpose=True
+        )
+        params[f"ResnetBlocWithAttn1D_{2 * L + 2 * j}"] = _w3_rbwa(
+            sd, f"{u}.pre_shortcut.0", ch[i] != ch[i - 1], with_attn
+        )
+        params[f"ResnetBlocWithAttn1D_{2 * L + 2 * j + 1}"] = _w3_rbwa(
+            sd, f"{u}.post_shortcut.0", False, with_attn
+        )
+    return {"params": params}

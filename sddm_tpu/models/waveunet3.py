@@ -93,8 +93,11 @@ class SelfAttention1D(nn.Module):
         qkv = nn.Conv(c * 3, (1,), use_bias=False, dtype=x.dtype)(
             norm.astype(x.dtype)
         )
-        qkv = qkv.reshape(b, t, self.n_head, head_dim, 3)
-        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+        # torch chunks the conv channels per head as [q(d), k(d), v(d)]
+        # blocks (reference waveunet3.py:108-109) — reshape (n_head, 3, d),
+        # NOT (n_head, d, 3), or imported qkv weights would be interleaved
+        qkv = qkv.reshape(b, t, self.n_head, 3, head_dim)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
         attn = jnp.einsum("bsnd,btnd->bnst", q, k) / math.sqrt(c)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bnst,btnd->bsnd", attn, v).reshape(b, t, c)

@@ -590,3 +590,157 @@ class TestSNREstimatorImport:
         ours_out = np.asarray(ours.apply(params, jnp.asarray(x)))
         assert ours_out.shape == ref_out.shape
         np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
+class TestDenoiseWaveGradImport:
+    """Fixed full-size topologies (reference wavegrad.py:184-353); batch 1 and
+    the shortest length each geometry divides keeps the CPU forward cheap."""
+
+    # (version, ours class name, ref class name, input length)
+    CASES = [
+        (1, "DenoiseWaveGrad1", 400),   # y /80, x /400, up x400
+        (2, "DenoiseWaveGrad2", 512),   # /256, up x256
+        (3, "DenoiseWaveGrad3", 600),   # /60 + bottleneck /5, up x300
+    ]
+
+    @pytest.fixture(scope="class", params=CASES, ids=lambda c: f"v{c[0]}")
+    def pair(self, request):
+        version, name, t_len = request.param
+        import model.wavegrad as ref_mod
+
+        from sddm_tpu.compat.zoo_import import import_denoise_wavegrad_state
+        import sddm_tpu.models as ours_mod
+
+        torch.manual_seed(0)
+        ref = getattr(ref_mod, name)().eval()
+        ours = getattr(ours_mod, name)()
+        params = import_denoise_wavegrad_state(
+            ref.state_dict(), version=version, prefix=""
+        )
+        return ref, ours, params, t_len
+
+    def test_param_count(self, pair):
+        ref, _, params, _ = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params, t_len = pair
+        rng = np.random.RandomState(4)
+        cond = rng.uniform(-0.5, 0.5, (1, 1, t_len)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (1, 1, t_len)).astype(np.float32)
+        level = np.full((1,), 0.6, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=3e-4)
+
+
+class TestWaveunet2Import:
+    """Waveunet2 = FiLM Wave-U-Net with wrapped resample layers
+    (reference waveunet2.py:226-324); kernel-size knobs differ from Waveunet."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.waveunet2 import Waveunet2 as RefWaveunet2
+
+        from sddm_tpu.compat.zoo_import import import_waveunet2_state
+        from sddm_tpu.models import Waveunet2
+
+        ch = [8, 16, 24]
+        torch.manual_seed(0)
+        ref = RefWaveunet2(
+            num_inputs=2, num_channels=ch, downconv_kernel_size=5,
+            upconv_kernel_size=5, bottleneck_kernel_size=5, conv_stride=1,
+            conv_type="gn", depth=1,
+        ).eval()
+        ours = Waveunet2(num_inputs=2, num_channels=tuple(ch))
+        params = import_waveunet2_state(
+            ref.state_dict(), num_levels=3, depth=1, conv_type="gn",
+            prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(5)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 64)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 64)).astype(np.float32)
+        level = np.full((2,), 0.6, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
+class TestWaveunet3Import:
+    """ResnetBlocWithAttn Wave-U-Net with additive skips and raw-scalar
+    noise level (reference waveunet3.py:314-416)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from model.waveunet3 import Waveunet3 as RefWaveunet3
+
+        from sddm_tpu.compat.zoo_import import import_waveunet3_state
+        from sddm_tpu.models import Waveunet3
+
+        ch = [4, 8, 16]
+        torch.manual_seed(0)
+        ref = RefWaveunet3(
+            num_inputs=2, num_channels=ch, downconv_kernel_size=5,
+            upconv_kernel_size=5, bottleneck_kernel_size=5, conv_stride=1,
+            conv_type="gn", norm_groups=4, with_attn=True,
+        ).eval()
+        ours = Waveunet3(
+            num_inputs=2, num_channels=tuple(ch), norm_groups=4,
+            with_attn=True,
+        )
+        params = import_waveunet3_state(
+            ref.state_dict(), num_channels=ch, num_inputs=2,
+            with_attn=True, prefix="",
+        )
+        return ref, ours, params
+
+    def test_param_count(self, pair):
+        ref, _, params = pair
+        assert _count(params) == sum(p.numel() for p in ref.parameters())
+
+    def test_forward_outputs_match(self, pair):
+        ref, ours, params = pair
+        rng = np.random.RandomState(6)
+        cond = rng.uniform(-0.5, 0.5, (2, 1, 64)).astype(np.float32)
+        x_t = rng.uniform(-0.5, 0.5, (2, 1, 64)).astype(np.float32)
+        # FeatureWiseAffine's Linear(1, C) needs a trailing singleton
+        # (reference waveunet3.py:39-51) — the SDDM contract's [B,1,1]
+        level = np.full((2, 1, 1), 0.6, np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(cond), torch.from_numpy(x_t),
+                torch.from_numpy(level),
+            ).numpy()
+        ours_out = np.asarray(
+            ours.apply(params, jnp.asarray(cond), jnp.asarray(x_t),
+                       jnp.asarray(level))
+        )
+        assert ours_out.shape == ref_out.shape
+        np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
