@@ -37,6 +37,7 @@ BATCH = 8  # chunk rows processed in parallel (vectorized utterance chunks)
 
 
 def main():
+    global BATCH
     import argparse
 
     # On-chip A/B (2026-08-16, v5e): packed 35.6x RTF vs base 20.1x -> packed
@@ -50,7 +51,13 @@ def main():
         "--base", action="store_true",
         help="alias for --engine base",
     )
+    ap.add_argument(
+        "--batch", type=int, default=BATCH,
+        help="chunk rows processed in parallel (default 8; the driver's "
+        "recorded metric uses 8 — other values are occupancy probes)",
+    )
     ns = ap.parse_args()
+    BATCH = ns.batch
     packed = ns.engine == "packed" and not ns.base
     sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
     net = UNetModified2(

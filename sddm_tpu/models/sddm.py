@@ -264,12 +264,18 @@ class SDDM_spectrogram(SDDM):
         level = jnp.ones((b,) + (1,) * 2)
         return self.network.init(key, spec, audio, level)
 
-    def _x_T(self, key: jax.Array, condition: jnp.ndarray) -> jnp.ndarray:
+    def _x_T(
+        self, key: jax.Array, condition: jnp.ndarray, noise=None
+    ) -> jnp.ndarray:
+        # pure-noise start (reference model/model.py:227); ``noise`` injects a
+        # pre-drawn sample for shared-stream parity tests like SDDM._x_T
+        if noise is not None:
+            return noise
         b = condition.shape[0]
         n = self.hop_samples * condition.shape[-1]
         return jax.random.normal(key, (b, 1, n))
 
-    def _reverse_step(self, params, condition, x_t, t, key):
+    def _reverse_step(self, params, condition, x_t, t, key, noise=None):
         sched = self.diffusion
         shape = condition.shape[:1] + (1,) * (condition.ndim - 1)
         if self.noise_condition == "sqrt_alpha_bar":
@@ -280,7 +286,7 @@ class SDDM_spectrogram(SDDM):
         predicted = self._apply(params, condition, x_t, nl, True)
         # spectrogram model always uses the original transition
         # (model/model.py:239,255)
-        return tr.p_transition(sched, x_t, t, predicted, key)
+        return tr.p_transition(sched, x_t, t, predicted, key, noise)
 
 
 class SDDM_with_SNREstimator:

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Zoo sampler RTF: DiffWave and WaveGrad full reverse-diffusion samplers on
+one chip, at their shipped-recipe geometry (VERDICT r2 #7 — these 1-D
+small-channel stacks run UNPACKED; this records the measured gap vs the
+packed flagship).
+
+DiffWave (configs/config_diffwave.json): T=200, residual_channels=64,
+30 layers, hop 256 spectrogram conditioning — reference model/diffwave.py.
+WaveGrad (configs/config_wavegrad.json): T=1000, fixed 15M topology, hop 300
+mel conditioning — reference model/wavegrad.py.
+
+Usage: python tools/zoo_rtf.py [diffwave] [wavegrad]
+Prints one JSON line per model: {"metric", "value", "unit"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sddm_tpu.diffusion import DiffusionSchedule
+from sddm_tpu.models import DiffWave, SDDM_spectrogram, WaveGrad
+
+BATCH = 8
+
+
+def bench(name, model, params, condition, sample_rate, n_audio, t_steps,
+          iters=3):
+    key = jax.random.PRNGKey(0)
+    infer = jax.jit(model.infer)
+    infer(params, key, condition).block_until_ready()  # compile + warmup
+
+    start = time.perf_counter()
+    for i in range(iters):
+        out = infer(params, jax.random.fold_in(key, i), condition)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = iters * BATCH * n_audio / sample_rate
+    rtf = audio_seconds / elapsed
+    print(json.dumps({
+        "metric": f"{name}_sampler_rtf_per_chip",
+        "value": round(rtf, 3),
+        "unit": f"x_realtime (T={t_steps}, batch={BATCH}; "
+                f"{iters * t_steps / elapsed:.1f} reverse steps/s)",
+    }))
+    return rtf
+
+
+def bench_diffwave():
+    t_steps, hop, frames, sr = 200, 256, 64, 16000
+    sched = DiffusionSchedule.create("linear", t_steps, 1e-4, 0.02)
+    net = DiffWave(freq_bins=513, residual_channels=64, residual_layers=30,
+                   dilation_cycle_length=10, dtype=jnp.bfloat16)
+    model = SDDM_spectrogram(sched, net, hop_samples=hop,
+                             noise_condition="time_step")
+    spec = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 513, frames))
+    params = model.init(jax.random.PRNGKey(0), spec.shape)
+    bench("diffwave", model, params, spec, sr, hop * frames, t_steps)
+
+
+def bench_wavegrad():
+    t_steps, hop, frames, sr = 1000, 300, 54, 22050
+    sched = DiffusionSchedule.create("linear", t_steps, 1e-6, 0.01)
+    net = WaveGrad(dtype=jnp.bfloat16)
+    model = SDDM_spectrogram(sched, net, hop_samples=hop)
+    mel = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 128, frames))
+    params = model.init(jax.random.PRNGKey(0), mel.shape)
+    bench("wavegrad", model, params, mel, sr, hop * frames, t_steps)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["diffwave", "wavegrad"]
+    if "diffwave" in which:
+        bench_diffwave()
+    if "wavegrad" in which:
+        bench_wavegrad()
