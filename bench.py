@@ -72,24 +72,44 @@ def main():
     )
     key = jax.random.PRNGKey(0)
     base = SDDM(sched, net, p_transition="condition_in")
-    params = base.init(key, (BATCH, 1, NUM_SAMPLES))
-    if packed:
-        # space-to-depth inference engine: same checkpoint, same math,
-        # lane-aligned convs (models/unet_packed.py)
-        from sddm_tpu.models.unet_packed import PackedUNetModified2
-
-        engine = PackedUNetModified2(net)
-        params = engine.pack(params)
-        model = SDDM(sched, engine, p_transition="condition_in")
-    else:
-        model = base
+    base_params = base.init(key, (BATCH, 1, NUM_SAMPLES))
     condition = (
         0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 1, NUM_SAMPLES))
     )
 
+    def build(use_packed):
+        if use_packed:
+            # space-to-depth inference engine: same checkpoint, same math,
+            # lane-aligned convs (models/unet_packed.py)
+            from sddm_tpu.models.unet_packed import PackedUNetModified2
+
+            engine = PackedUNetModified2(net)
+            return (SDDM(sched, engine, p_transition="condition_in"),
+                    engine.pack(base_params))
+        return base, base_params
+
+    # canary-validated engine selection: the benchmark must time a CORRECT
+    # computation.  The round-3 GroupNorm cancellation episode
+    # (PERFORMANCE.md) showed weight-dependent NaNs can slip past
+    # random-init exactness tests, so validate the warmup output and fall
+    # back to the plain engine if the fast one is broken.
+    import numpy as np
+
+    engine_used = "packed" if packed else "base"
+    model, params = build(packed)
     infer = jax.jit(model.infer)
-    # compile + warmup
-    infer(params, key, condition).block_until_ready()
+    out = infer(params, key, condition)  # compile + warmup
+    if packed and not bool(jnp.isfinite(out).all()):
+        print(
+            "bench: packed warmup output is non-finite — falling back "
+            "to the plain engine (see PERFORMANCE.md round-3 notes)",
+            file=sys.stderr,
+        )
+        engine_used = "base(canary-fallback)"
+        model, params = build(False)
+        infer = jax.jit(model.infer)
+        out = infer(params, key, condition)
+    np.asarray(out)  # block
 
     n_iters = 5
     start = time.perf_counter()
@@ -107,7 +127,8 @@ def main():
             {
                 "metric": "reverse_sampler_rtf_per_chip",
                 "value": round(rtf, 3),
-                "unit": f"x_realtime (T={T_STEPS}, batch={BATCH}; "
+                "unit": f"x_realtime (T={T_STEPS}, batch={BATCH}, "
+                f"engine={engine_used}; "
                 f"{steps_per_sec:.1f} reverse steps/s)",
                 "vs_baseline": round(rtf, 3),
             }

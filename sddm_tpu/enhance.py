@@ -71,6 +71,23 @@ class Enhancer:
         if warmup:
             self.warmup(timeout_s=warmup_timeout_s)
 
+    def validate(self) -> bool:
+        """Canary: run the compiled sampler once on a small random condition
+        and check every output element is finite.
+
+        Defense in depth after the round-3 GroupNorm cancellation episode
+        (PERFORMANCE.md): weight-dependent numerical failures can slip past
+        random-init exactness tests, so the loader checks the packed engine
+        ONCE with the real checkpoint weights at the serving shape.
+        ``load_enhancer`` runs this when asked to serve the packed engine
+        and falls back to the plain model if it fails."""
+        cond = 0.05 * np.random.default_rng(0).standard_normal(
+            (self.batch_rows, 1, self.num_samples)
+        ).astype(np.float32)
+        out = self._infer(self.params, jax.random.PRNGKey(17),
+                          jnp.asarray(cond))
+        return bool(jnp.isfinite(out).all())
+
     def warmup(self, timeout_s: Optional[float] = None) -> float:
         """Compile+run the sampler once on zeros at the serving shape.
 
@@ -166,6 +183,7 @@ def load_enhancer(
     warmup: bool = False,
     warmup_timeout_s=None,
     packed: bool = True,
+    validate_packed: bool = True,
 ) -> Enhancer:
     """Build an Enhancer from a run-dir checkpoint + its config dict.
     Enables the persistent compile cache so warmed-up programs survive
@@ -173,7 +191,14 @@ def load_enhancer(
 
     ``packed=True`` (default) serves UNetModified2 checkpoints through the
     space-to-depth inference engine (models/unet_packed.py) — identical
-    outputs, lane-aligned convs; silently ignored for other networks."""
+    outputs, lane-aligned convs; silently ignored for other networks.
+    With ``validate_packed=True`` the packed engine is canary-checked once
+    with the REAL checkpoint weights at the serving shape
+    (:meth:`Enhancer.validate`); if the output is non-finite the loader
+    logs a warning and serves the plain engine instead (defense in depth
+    after the round-3 GroupNorm cancellation bug, PERFORMANCE.md)."""
+    import logging
+
     enable_compile_cache()
     from .cli import build_arch, build_diffusion, build_network
     from .train.checkpoints import load_checkpoint
@@ -191,13 +216,26 @@ def load_enhancer(
     )
     ckpt = load_checkpoint(checkpoint_path, params_template=init_params)
     params = ckpt["params"]
+    plain = (model, params)
     if packed and config["network"]["type"] == "UNetModified2" \
             and not network.dropout:
         from .models.unet_packed import PackedUNetModified2
 
         engine = PackedUNetModified2(network)
-        params = engine.pack(params)
-        model = build_arch(cfg, diffusion, engine)
+        packed_params = engine.pack(params)
+        packed_model = build_arch(cfg, diffusion, engine)
+        enhancer = Enhancer(
+            packed_model, packed_params, config["num_samples"], batch_rows,
+            mesh, warmup=warmup, warmup_timeout_s=warmup_timeout_s,
+        )
+        if not validate_packed or enhancer.validate():
+            return enhancer
+        logging.getLogger("enhance").warning(
+            "packed-engine canary produced non-finite output with the "
+            "checkpoint weights (see PERFORMANCE.md round-3 notes) — "
+            "serving the plain engine instead"
+        )
+        model, params = plain
     return Enhancer(
         model, params, config["num_samples"], batch_rows, mesh,
         warmup=warmup, warmup_timeout_s=warmup_timeout_s,

@@ -118,7 +118,12 @@ class _GN:
             g = self.groups
             r = x32.reshape(b, h, w, g, c // g)
             mean = jnp.mean(r, axis=(1, 2, 4), keepdims=True)
-            var = jnp.mean(r * r, axis=(1, 2, 4), keepdims=True) - mean**2
+            # E[x²]−mean² cancels catastrophically when |mean|≫std (trained
+            # activations reach this inside the sampler); clamp at 0 exactly
+            # like flax's GroupNorm does, else rsqrt(negative+eps) = NaN
+            var = jnp.maximum(
+                0.0, jnp.mean(r * r, axis=(1, 2, 4), keepdims=True) - mean**2
+            )
             y = (r - mean) * jax.lax.rsqrt(var + self.eps)
             y = y.reshape(b, h, w, c)
             return y * self.scale + self.bias
@@ -134,7 +139,9 @@ class _GN:
         s1 = s1c @ self.onehot
         s2 = s2c @ self.onehot
         mean = s1 / n
-        var = s2 / n - mean**2
+        # same clamp as above (flax GroupNorm semantics): the one-pass
+        # moment difference goes (tiny) negative under cancellation
+        var = jnp.maximum(0.0, s2 / n - mean**2)
         mu = jnp.take(mean, self.group_of, axis=1)[:, None, None, :]
         iv = jnp.take(jax.lax.rsqrt(var + self.eps), self.group_of,
                       axis=1)[:, None, None, :]

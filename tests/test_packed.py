@@ -104,3 +104,43 @@ class TestConcatMap:
         cat = np.asarray(jnp.concatenate([s2d(x), s2d(y)], axis=-1))
         perm = pack_input_map((3, 5))
         np.testing.assert_array_equal(cat[..., perm], ref)
+
+
+class TestGNCancellation:
+    """Regression: the packed GroupNorm must clamp its one-pass variance
+    like flax's GroupNorm does.  With converged weights the sampler drives
+    activations into |mean| >> std territory where E[x^2] - mean^2 cancels
+    catastrophically to a tiny NEGATIVE f32 value; unclamped, rsqrt(neg+eps)
+    is NaN (observed on chip as NaN output rows in 131/200 evaluation files
+    with the trained flagship checkpoint — PERFORMANCE.md round 3)."""
+
+    def _big_mean_input(self, rng, c):
+        # mean ~ 3e3, std ~ 1e-2: mean^2/var ~ 1e11 >> 2^24 (f32 cancellation)
+        x = 3e3 + 1e-2 * rng.randn(2, 8, 8, c).astype(np.float32)
+        return jnp.asarray(x)
+
+    def test_plain_plan_finite_and_matches_flax(self, rng):
+        import flax.linen as nn
+
+        from sddm_tpu.models.unet_packed import _GN
+
+        c, groups = 16, 4
+        x = self._big_mean_input(rng, c)
+        gn = _GN(jnp.ones((c,)), jnp.zeros((c,)), groups)
+        got = np.asarray(gn(x))
+        assert np.isfinite(got).all()
+        mod = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+        ref = np.asarray(mod.apply(
+            {"params": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}}, x
+        ))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+    def test_packed_plan_finite(self, rng):
+        from sddm_tpu.models.unet_packed import _GN, _packed_gn_plan
+
+        c, groups = 16, 4
+        plan = _packed_gn_plan(groups, (c,))
+        x = self._big_mean_input(rng, 4 * c)
+        gn = _GN(jnp.ones((4 * c,)), jnp.zeros((4 * c,)), groups, plan)
+        out = np.asarray(gn(x))
+        assert np.isfinite(out).all()
