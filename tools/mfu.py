@@ -67,7 +67,10 @@ def main():
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    flops = float(cost.get("flops", float("nan")))
+    # XLA's cost analysis counts a while-loop BODY ONCE regardless of trip
+    # count (verified: T=5 and T=20 samplers report identical flops), so the
+    # reported figure is per reverse STEP; scale by T for the full call.
+    flops = float(cost.get("flops", float("nan"))) * T_STEPS
 
     compiled(params, key, condition).block_until_ready()  # warmup
     iters = 5
