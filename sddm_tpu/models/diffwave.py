@@ -56,6 +56,37 @@ class DiffusionEmbedding(nn.Module):
         return jax.nn.silu(x)
 
 
+class ConvTranspose(nn.Module):
+    """TPU-layout-friendly stand-in for ``flax.linen.ConvTranspose`` at C=1.
+
+    flax's NHWC transposed conv on [B, freq, time, 1] leaves a trailing
+    unit channel that TPU tiled layouts pad to 128 lanes — a 128x HBM
+    blowup (17 GB at the DiffWave recipe's [8, 513, 16384, 1]
+    intermediate).  Same math, param names, shapes, and init as the flax
+    module (checkpoints and the torch importer are unaffected), computed
+    in NCHW so the minor axes are (freq, time)."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: str = "VALID"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = jax.lax.conv_transpose(
+            jnp.moveaxis(x, -1, 1), kernel.astype(self.dtype),
+            self.strides, self.padding,
+            dimension_numbers=("NCHW", "HWIO", "NCHW"))
+        return jnp.moveaxis(y, 1, -1) + bias.astype(self.dtype)
+
+
 class SpectrogramUpsampler(nn.Module):
     """Two 16x transposed-conv time upsamples (reference diffwave.py:48-61).
     Input [B, freq, frames] -> [B, freq, frames*256]."""
@@ -67,7 +98,7 @@ class SpectrogramUpsampler(nn.Module):
         # treat (freq, time) as a 2-D image with 1 channel
         x = spec[..., None].astype(self.dtype)  # [B, freq, time, 1]
         for _ in range(2):
-            x = nn.ConvTranspose(
+            x = ConvTranspose(
                 1, (3, 32), strides=(1, 16), padding="VALID",
                 dtype=self.dtype,
             )(x)

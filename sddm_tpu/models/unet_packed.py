@@ -31,7 +31,10 @@ import jax.numpy as jnp
 
 from ..ops.framing import frame_signal, overlap_add
 from ..ops.packed import (
+    offset_mask,
     pack_kernel_s1,
+    pack_kernel_s1_from_offset,
+    pack_kernel_s1_to_offset,
     pack_kernel_s2_packed_out,
     pack_kernel_s2_unpacked_out,
     pack_kernel_traced,
@@ -41,6 +44,22 @@ from ..ops.packed import (
 
 
 _STATS_BARRIER = True
+
+# Offset-phase res-block convolutions (round 3): the dense 3x3 packed
+# kernels are only 1/4 nonzero, so the MXU does 4x the plain conv's FLOPs.
+# Inside a res block the two 3x3 convs can instead hop to an OFFSET-packed
+# grid and back with 2x2 kernels that are 9/16 nonzero — 2.25x fewer FLOPs
+# for identical math (ops/packed.py::pack_kernel_s1_to_offset/_from_offset).
+# Module-level so tools/A-B probes can flip it; exactness is asserted either
+# way in tests/test_packed_model.py.
+_OFFSET_RB = True
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _offset_mask_np(h_off: int, w_off: int, c: int):
+    return offset_mask(h_off, w_off, c)
 
 
 def _np(x):
@@ -94,9 +113,17 @@ class _GN:
     shape is static aux data) so packed param trees pass through jit/scan
     as arguments."""
 
-    def __init__(self, scale, bias, groups: int, plan=None):
+    def __init__(self, scale, bias, groups: int, plan=None,
+                 offset: bool = False):
         self.groups = groups
         self.eps = 1e-5
+        # offset-packed input: the tensor carries one extra block per
+        # spatial axis whose out-of-range plain rows/cols are ZERO (masked
+        # by the caller), so sums are unaffected but the mean divisor must
+        # be the true plain element count (h-1)(w-1)*count.
+        self.offset = offset
+        if offset and plan is None:
+            raise ValueError("offset _GN requires a packed plan")
         if plan is None:
             self.onehot = None
             self.scale = scale
@@ -140,7 +167,7 @@ class _GN:
             y = y.reshape(b, h, w, c)
             return y * self.scale + self.bias
         b, h, w, _c = x.shape
-        n = h * w * self.count
+        n = ((h - 1) * (w - 1) if self.offset else h * w) * self.count
         # per-channel spatial moments first (lane-aligned reductions), then
         # the group combine as a tiny [B, 4C] @ [4C, G] matmul.  Identical
         # math to one big einsum over (h, w, c); split because on this TPU
@@ -163,14 +190,15 @@ class _GN:
 def _gn_flatten(gn: "_GN"):
     children = (gn.scale, gn.bias, gn.onehot,
                 getattr(gn, "group_of", None))
-    aux = (gn.groups, gn.eps, getattr(gn, "count", None))
+    aux = (gn.groups, gn.eps, getattr(gn, "count", None),
+           getattr(gn, "offset", False))
     return children, aux
 
 
 def _gn_unflatten(aux, children):
     gn = _GN.__new__(_GN)
     gn.scale, gn.bias, gn.onehot, group_of = children
-    gn.groups, gn.eps, count = aux
+    gn.groups, gn.eps, count, gn.offset = aux
     if group_of is not None:
         gn.group_of = group_of
     if count is not None:
@@ -187,6 +215,8 @@ class _HostKit:
     get = staticmethod(_np)
     out = staticmethod(jnp.asarray)
     s1 = staticmethod(pack_kernel_s1)
+    s1to = staticmethod(pack_kernel_s1_to_offset)
+    s1from = staticmethod(pack_kernel_s1_from_offset)
     s2u = staticmethod(pack_kernel_s2_unpacked_out)
     s2p = staticmethod(pack_kernel_s2_packed_out)
     up = staticmethod(pack_kernel_upsample)
@@ -216,6 +246,8 @@ class _TracedKit:
     get = staticmethod(jnp.asarray)
     out = staticmethod(lambda x: x)
     s1 = staticmethod(lambda w: pack_kernel_traced("s1", w))
+    s1to = staticmethod(lambda w: pack_kernel_traced("s1to", w))
+    s1from = staticmethod(lambda w: pack_kernel_traced("s1from", w))
     s2u = staticmethod(lambda w: pack_kernel_traced("s2u", w))
     s2p = staticmethod(lambda w: pack_kernel_traced("s2p", w))
     up = staticmethod(lambda w: pack_kernel_traced("up", w))
@@ -284,13 +316,13 @@ class PackedUNetModified2:
                 wp = kit.unperm(wp, _sections_perm(sections))
             return wp
 
-        def make_gn(gnsrc, sections, is_packed):
+        def make_gn(gnsrc, sections, is_packed, offset=False):
             sc, bi = kit.get(gnsrc["scale"]), kit.get(gnsrc["bias"])
             if is_packed:
                 plan = _packed_gn_plan(net.norm_groups, sections)
                 return _GN(kit.out(kit.take(sc, plan[0])),
                            kit.out(kit.take(bi, plan[0])),
-                           net.norm_groups, plan)
+                           net.norm_groups, plan, offset=offset)
             return _GN(kit.out(sc), kit.out(bi), net.norm_groups)
 
         def conv1(src, kind, packed_in, packed_out):
@@ -313,10 +345,18 @@ class PackedUNetModified2:
         def rb(src, sections, is_packed, cout):
             e: Dict[str, Any] = {}
             cin = sum(sections)
-            # Block_0 (input may be a packed concat)
+            offset = is_packed and _OFFSET_RB
+            # Block_0 (input may be a packed concat); in offset mode its
+            # conv hops to the OFFSET-packed grid and Block_1's conv hops
+            # back — 2x2 kernels, 2.25x fewer FLOPs, same math.
             w, b = kit.get(src["Block_0"]["Conv_0"]["kernel"]), kit.get(
                 src["Block_0"]["Conv_0"]["bias"])
-            if is_packed:
+            if offset:
+                w = kit.s1to(w)
+                if len(sections) > 1:
+                    w = kit.unperm(w, _sections_perm(sections))
+                b = kit.tile4(b)
+            elif is_packed:
                 w, b = s1_cat(w, sections), kit.tile4(b)
             e["Block_0"] = {
                 "gn": make_gn(src["Block_0"]["GroupNorm_0"], sections,
@@ -325,11 +365,13 @@ class PackedUNetModified2:
             }
             w, b = kit.get(src["Block_1"]["Conv_0"]["kernel"]), kit.get(
                 src["Block_1"]["Conv_0"]["bias"])
-            if is_packed:
+            if offset:
+                w, b = kit.s1from(w), kit.tile4(b)
+            elif is_packed:
                 w, b = kit.s1(w), kit.tile4(b)
             e["Block_1"] = {
                 "gn": make_gn(src["Block_1"]["GroupNorm_0"], (cout,),
-                              is_packed),
+                              is_packed, offset=offset),
                 "conv": {"kernel": kit.out(w), "bias": kit.out(b)},
             }
             fwa = src["FeatureWiseAffine_0"]["Dense_0"]
@@ -432,10 +474,16 @@ class PackedUNetModified2:
         t_emb = jax.nn.silu(t)
 
         def run_rb(e, x, tile):
+            # offset mode: Block_0's conv produces the OFFSET-packed grid
+            # (2x2 kernel, one extra block per spatial axis), Block_1's conv
+            # consumes it back to the standard grid — detected statically
+            # from the packed kernel's spatial shape.
+            offset = e["Block_0"]["conv"]["kernel"].shape[0] == 2
             blk = e["Block_0"]
             y = blk["gn"](x).astype(x.dtype)
             y = jax.nn.silu(y)
-            y = _conv(y, blk["conv"]["kernel"], blk["conv"]["bias"])
+            y = _conv(y, blk["conv"]["kernel"], blk["conv"]["bias"],
+                      padding=((1, 1), (1, 1)) if offset else "SAME")
             fwa = t_emb @ e["fwa"]["kernel"].astype(t_emb.dtype) + \
                 e["fwa"]["bias"].astype(t_emb.dtype)
             # packed blocks need the per-channel bias tiled over the 4
@@ -444,9 +492,22 @@ class PackedUNetModified2:
                 fwa = jnp.tile(fwa, (1, 4))
             y = y + fwa[:, None, None, :]
             blk = e["Block_1"]
-            y2 = blk["gn"](y).astype(y.dtype)
-            y2 = jax.nn.silu(y2)
-            y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"])
+            if offset:
+                # zero the out-of-range plain rows/cols: once so the GN
+                # statistics see zeros there, and again after the affine +
+                # silu so the VALID conv reads the plain SAME-padding zeros
+                mask = jnp.asarray(
+                    _offset_mask_np(y.shape[1], y.shape[2],
+                                    y.shape[3] // 4), y.dtype)
+                y = y * mask
+                y2 = blk["gn"](y).astype(y.dtype)
+                y2 = jax.nn.silu(y2) * mask
+                y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"],
+                           padding=((0, 0), (0, 0)))
+            else:
+                y2 = blk["gn"](y).astype(y.dtype)
+                y2 = jax.nn.silu(y2)
+                y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"])
             if "res" in e:
                 x = _conv(x, e["res"]["kernel"], e["res"]["bias"])
             return y2 + x

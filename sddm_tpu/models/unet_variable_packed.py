@@ -32,8 +32,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.packed import d2s, s2d
+from . import unet_packed as _up
 from .unet_packed import _GN, _HostKit, _TracedKit, _packed_gn_plan, _conv
-from .unet_packed import _sections_perm
+from .unet_packed import _offset_mask_np, _sections_perm
 
 
 def _inject_packed(noise_bn1c: jnp.ndarray) -> jnp.ndarray:
@@ -42,6 +43,20 @@ def _inject_packed(noise_bn1c: jnp.ndarray) -> jnp.ndarray:
     n_even = noise_bn1c[:, 0::2]
     n_odd = noise_bn1c[:, 1::2]
     return jnp.concatenate([n_even, n_even, n_odd, n_odd], axis=-1)
+
+
+def _inject_packed_offset(noise_bn1c: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, 1, C] -> [B, N/2 + 1, 1, 4C] for the OFFSET-packed grid:
+    phase a at offset block i reads plain segment row 2i-1+a, so phase
+    (0, b) carries the PREVIOUS odd row and phase (1, b) the even row;
+    the two out-of-range rows get zeros (masked downstream regardless)."""
+    n_even = noise_bn1c[:, 0::2]
+    n_odd = noise_bn1c[:, 1::2]
+    z = jnp.zeros_like(n_even[:, :1])
+    n_prev_odd = jnp.concatenate([z, n_odd], axis=1)   # plain row 2i-1
+    n_even_ext = jnp.concatenate([n_even, z], axis=1)  # plain row 2i
+    return jnp.concatenate(
+        [n_prev_odd, n_prev_odd, n_even_ext, n_even_ext], axis=-1)
 
 
 class PackedUNetVariable:
@@ -84,29 +99,45 @@ class PackedUNetVariable:
                 wp = kit.unperm(wp, _sections_perm(sections))
             return wp
 
-        def make_gn(gnsrc, sections, is_packed):
+        def make_gn(gnsrc, sections, is_packed, offset=False):
             sc, bi = kit.get(gnsrc["scale"]), kit.get(gnsrc["bias"])
             if is_packed:
                 plan = _packed_gn_plan(net.norm_groups, sections)
                 return _GN(kit.out(kit.take(sc, plan[0])),
                            kit.out(kit.take(bi, plan[0])),
-                           net.norm_groups, plan)
+                           net.norm_groups, plan, offset=offset)
             return _GN(kit.out(sc), kit.out(bi), net.norm_groups)
 
-        def block(src, sections, is_packed):
+        def block(src, sections, is_packed, kind="s1", gn_offset=False):
             w, b = kit.get(src["Conv_0"]["kernel"]), kit.get(
                 src["Conv_0"]["bias"])
             if is_packed:
-                w, b = s1_cat(w, sections), kit.tile4(b)
+                if kind == "s1to":
+                    w = kit.s1to(w)
+                    if len(sections) > 1:
+                        w = kit.unperm(w, _sections_perm(sections))
+                elif kind == "s1from":
+                    assert len(sections) == 1
+                    w = kit.s1from(w)
+                else:
+                    w = s1_cat(w, sections)
+                b = kit.tile4(b)
             return {
-                "gn": make_gn(src["GroupNorm_0"], sections, is_packed),
+                "gn": make_gn(src["GroupNorm_0"], sections, is_packed,
+                              offset=gn_offset),
                 "conv": {"kernel": kit.out(w), "bias": kit.out(b)},
             }
 
         def vrb(src, sections, is_packed, cout):
+            # offset-phase res-block convs (see unet_packed._OFFSET_RB):
+            # Block_0 hops to the offset grid, Block_1 hops back
+            off = is_packed and _up._OFFSET_RB
             e: Dict[str, Any] = {
-                "Block_0": block(src["Block_0"], sections, is_packed),
-                "Block_1": block(src["Block_1"], (cout,), is_packed),
+                "Block_0": block(src["Block_0"], sections, is_packed,
+                                 kind="s1to" if off else "s1"),
+                "Block_1": block(src["Block_1"], (cout,), is_packed,
+                                 kind="s1from" if off else "s1",
+                                 gn_offset=off),
                 # per-segment noise 1x1 conv stays unpacked (applied to the
                 # pyramid, then phase-interleaved at inject time)
                 "noise": {
@@ -221,19 +252,33 @@ class PackedUNetVariable:
         t = jax.nn.silu(t)
 
         def run_vrb(e, x, t_lvl, is_packed):
+            offset = e["Block_0"]["conv"]["kernel"].shape[0] == 2
             blk = e["Block_0"]
             y = blk["gn"](x).astype(x.dtype)
             y = jax.nn.silu(y)
-            y = _conv(y, blk["conv"]["kernel"], blk["conv"]["bias"])
+            y = _conv(y, blk["conv"]["kernel"], blk["conv"]["bias"],
+                      padding=((1, 1), (1, 1)) if offset else "SAME")
             noise = _conv(t_lvl, e["noise"]["kernel"], e["noise"]["bias"])
-            if is_packed:
+            if offset:
+                y = y + _inject_packed_offset(noise)
+            elif is_packed:
                 y = y + _inject_packed(noise)
             else:
                 y = y + noise  # [B, N, 1, C] broadcasts over L
             blk = e["Block_1"]
-            y2 = blk["gn"](y).astype(y.dtype)
-            y2 = jax.nn.silu(y2)
-            y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"])
+            if offset:
+                mask = jnp.asarray(
+                    _offset_mask_np(y.shape[1], y.shape[2],
+                                    y.shape[3] // 4), y.dtype)
+                y = y * mask
+                y2 = blk["gn"](y).astype(y.dtype)
+                y2 = jax.nn.silu(y2) * mask
+                y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"],
+                           padding=((0, 0), (0, 0)))
+            else:
+                y2 = blk["gn"](y).astype(y.dtype)
+                y2 = jax.nn.silu(y2)
+                y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"])
             if "res" in e:
                 x = _conv(x, e["res"]["kernel"], e["res"]["bias"])
             return y2 + x

@@ -85,6 +85,89 @@ def pack_kernel_s1(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def pack_kernel_s1_to_offset(w: np.ndarray) -> np.ndarray:
+    """Stride-1 SAME 3x3 kernel [3, 3, Ci, Co] -> [2, 2, 4Ci, 4Co], consumed
+    with padding (1,1) on a STANDARD-packed input and producing the
+    OFFSET-packed grid (offset block i = plain rows {2i-1, 2i}, so the
+    output has one extra block per spatial axis; plain rows -1 and H land
+    at block 0 phase 0 / block h phase 1 and must be masked downstream —
+    :func:`offset_mask`).
+
+    Why: the dense 3x3 packed kernel (pack_kernel_s1) is only 1/4 nonzero,
+    so the MXU does 4x the plain conv's FLOPs; this 2x2 form is 9/16
+    nonzero — 2.25x fewer FLOPs for the SAME math at full lane width.
+    Derivation (1-D): output offset block i phase a is plain row 2i-1+a;
+    tap e in {0,1} reads standard block i-1+e phase a_in = plain row
+    2(i-1+e)+a_in, so dh = 2(e-1) + a_in - a + 1, kept when |dh| <= 1."""
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3), "offset packing is for 3x3 stride-1 kernels"
+    out = np.zeros((2, 2, 4 * ci, 4 * co), w.dtype)
+    rng_ci, rng_co = np.arange(ci), np.arange(co)
+    for e in range(2):
+        for f in range(2):
+            for a_in in range(2):
+                for b_in in range(2):
+                    for a in range(2):
+                        for b in range(2):
+                            dh = 2 * (e - 1) + a_in - a + 1
+                            dw = 2 * (f - 1) + b_in - b + 1
+                            if not (-1 <= dh <= 1 and -1 <= dw <= 1):
+                                continue
+                            pi = _phase_index(a_in, b_in, rng_ci, ci)
+                            po = _phase_index(a, b, rng_co, co)
+                            out[e, f, pi[:, None], po[None, :]] = \
+                                w[dh + 1, dw + 1]
+    return out
+
+
+def pack_kernel_s1_from_offset(w: np.ndarray) -> np.ndarray:
+    """Stride-1 SAME 3x3 kernel [3, 3, Ci, Co] -> [2, 2, 4Ci, 4Co], consumed
+    with VALID padding on an OFFSET-packed input (whose two out-of-range
+    plain rows/cols are pre-zeroed — they coincide exactly with the plain
+    conv's SAME-padding zeros) and producing the STANDARD-packed grid.
+
+    Derivation (1-D): output standard block i phase a is plain row 2i+a;
+    tap e in {0,1} reads offset block i+e phase a_in = plain row
+    2(i+e)-1+a_in, so dh = 2e + a_in - a - 1, kept when |dh| <= 1."""
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3), "offset packing is for 3x3 stride-1 kernels"
+    out = np.zeros((2, 2, 4 * ci, 4 * co), w.dtype)
+    rng_ci, rng_co = np.arange(ci), np.arange(co)
+    for e in range(2):
+        for f in range(2):
+            for a_in in range(2):
+                for b_in in range(2):
+                    for a in range(2):
+                        for b in range(2):
+                            dh = 2 * e + a_in - a - 1
+                            dw = 2 * f + b_in - b - 1
+                            if not (-1 <= dh <= 1 and -1 <= dw <= 1):
+                                continue
+                            pi = _phase_index(a_in, b_in, rng_ci, ci)
+                            po = _phase_index(a, b, rng_co, co)
+                            out[e, f, pi[:, None], po[None, :]] = \
+                                w[dh + 1, dw + 1]
+    return out
+
+
+def offset_mask(h_off: int, w_off: int, c: int,
+                dtype=np.float32) -> np.ndarray:
+    """{0,1} mask [h_off, w_off, 4c] zeroing an OFFSET-packed tensor's two
+    out-of-range plain rows/cols (plain row -1 = block 0 phase 0, plain row
+    H = last block phase 1; same per column).  Multiply after the producing
+    conv (so GroupNorm statistics see zeros there) and again after any
+    nonlinearity/bias before the consuming conv (VALID-padding semantics
+    require those positions to be exactly the plain conv's SAME zeros)."""
+    mr = np.ones((h_off, 2), dtype)
+    mr[0, 0] = 0.0
+    mr[-1, 1] = 0.0
+    mc = np.ones((w_off, 2), dtype)
+    mc[0, 0] = 0.0
+    mc[-1, 1] = 0.0
+    m4 = np.einsum("ia,jb->ijab", mr, mc).reshape(h_off, w_off, 4)
+    return np.repeat(m4, c, axis=-1)
+
+
 def pack_kernel_s2_unpacked_out(w: np.ndarray) -> np.ndarray:
     """Stride-2 3x3 pad (1,1) kernel [3, 3, Ci, Co] -> packed [2, 2, 4Ci, Co].
     torch-style downsample: conv_s2(x, w, pad 1) == conv_s1(s2d(x), w',
@@ -196,6 +279,10 @@ def _kernel_map(kind: str, shape) -> tuple:
     shape = tuple(shape)
     if kind == "s1":
         return (_derive_map(pack_kernel_s1, shape),)
+    if kind == "s1to":
+        return (_derive_map(pack_kernel_s1_to_offset, shape),)
+    if kind == "s1from":
+        return (_derive_map(pack_kernel_s1_from_offset, shape),)
     if kind == "s2u":
         return (_derive_map(pack_kernel_s2_unpacked_out, shape),)
     if kind == "s2p":
@@ -225,7 +312,8 @@ def _apply_map(w: jnp.ndarray, src: np.ndarray) -> jnp.ndarray:
 def pack_kernel_traced(kind: str, w: jnp.ndarray) -> jnp.ndarray:
     """Traced/differentiable equivalent of the pack_kernel_* transforms.
 
-    ``kind``: "s1" | "s2u" | "s2p" | "up".  Identical output to the numpy
+    ``kind``: "s1" | "s1to" | "s1from" | "s2u" | "s2p" | "up".  Identical
+    output to the numpy
     builders (asserted in tests/test_packed.py::TestTracedKernelPacking)."""
     maps = _kernel_map(kind, tuple(int(s) for s in w.shape))
     out = _apply_map(w, maps[0])

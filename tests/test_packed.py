@@ -144,3 +144,105 @@ class TestGNCancellation:
         gn = _GN(jnp.ones((4 * c,)), jnp.zeros((4 * c,)), groups, plan)
         out = np.asarray(gn(x))
         assert np.isfinite(out).all()
+
+
+class TestOffsetPhase:
+    """Offset-phase res-block convs (ops/packed.py::pack_kernel_s1_to_offset
+    / _from_offset): 2x2 packed kernels that hop to the offset grid and
+    back, reproducing two chained SAME 3x3 convs elementwise with 2.25x
+    fewer MACs than the dense 3x3 packed kernels."""
+
+    def _chain(self, x, w1, w2, fn=None):
+        from sddm_tpu.ops.packed import (
+            offset_mask, pack_kernel_s1_from_offset, pack_kernel_s1_to_offset)
+
+        xp = s2d(x)
+        y = conv(xp, jnp.asarray(pack_kernel_s1_to_offset(w1)),
+                 padding=((1, 1), (1, 1)))
+        m = jnp.asarray(offset_mask(y.shape[1], y.shape[2],
+                                    y.shape[3] // 4))
+        y = y * m
+        if fn is not None:
+            y = fn(y) * m  # nonlinearity between the convs, re-masked
+        out = conv(y, jnp.asarray(pack_kernel_s1_from_offset(w2)),
+                   padding=((0, 0), (0, 0)))
+        return d2s(out)
+
+    @pytest.mark.parametrize("ci,cm,co", [(3, 5, 4), (4, 4, 4)])
+    def test_chained_convs(self, rng, ci, cm, co):
+        x = jnp.asarray(rng.randn(B, N, F, ci).astype(np.float32))
+        w1 = rng.randn(3, 3, ci, cm).astype(np.float32)
+        w2 = rng.randn(3, 3, cm, co).astype(np.float32)
+        ref = conv(conv(x, jnp.asarray(w1)), jnp.asarray(w2))
+        got = self._chain(x, w1, w2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_with_nonlinearity(self, rng):
+        # silu between the convs: the offset grid's two out-of-range
+        # rows/cols must be re-zeroed after any bias/nonlinearity so the
+        # VALID conv reads the plain SAME-padding zeros
+        ci = cm = co = 4
+        x = jnp.asarray(rng.randn(B, N, F, ci).astype(np.float32))
+        w1 = rng.randn(3, 3, ci, cm).astype(np.float32)
+        w2 = rng.randn(3, 3, cm, co).astype(np.float32)
+        ref = conv(jax.nn.silu(conv(x, jnp.asarray(w1))), jnp.asarray(w2))
+        got = self._chain(x, w1, w2, fn=jax.nn.silu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_traced_kernels_match_host(self, rng):
+        from sddm_tpu.ops.packed import (
+            pack_kernel_s1_from_offset, pack_kernel_s1_to_offset,
+            pack_kernel_traced)
+
+        w = rng.randn(3, 3, 3, 5).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(pack_kernel_traced("s1to", jnp.asarray(w))),
+            pack_kernel_s1_to_offset(w))
+        np.testing.assert_array_equal(
+            np.asarray(pack_kernel_traced("s1from", jnp.asarray(w))),
+            pack_kernel_s1_from_offset(w))
+
+    def test_flop_reduction(self):
+        # the point of the offset form: 2x2 kernels at 9/16 density vs 3x3
+        # at 1/4 -> nonzero MAC count identical, total MACs 2.25x fewer
+        from sddm_tpu.ops.packed import pack_kernel_s1_to_offset
+
+        w = np.random.RandomState(1).randn(3, 3, 4, 4).astype(np.float32)
+        dense = pack_kernel_s1(w)
+        off = pack_kernel_s1_to_offset(w)
+        assert dense.size / off.size == 2.25
+        assert np.count_nonzero(dense) == np.count_nonzero(off)
+
+    def test_offset_gn_divisor(self, rng):
+        # zero-masked offset tensor + true-count divisor == flax GroupNorm
+        # on the equivalent standard tensor
+        import flax.linen as nn
+
+        from sddm_tpu.models.unet_packed import _GN, _packed_gn_plan
+        from sddm_tpu.ops.packed import (
+            offset_mask, pack_kernel_s1_to_offset)
+
+        ci, c, groups = 3, 8, 4
+        x = jnp.asarray(rng.randn(B, N, F, ci).astype(np.float32))
+        w = rng.randn(3, 3, ci, c).astype(np.float32)
+        ref_y = conv(x, jnp.asarray(w))
+        mod = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+        ref = np.asarray(mod.apply(
+            {"params": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}},
+            ref_y))
+
+        y = conv(s2d(x), jnp.asarray(pack_kernel_s1_to_offset(w)),
+                 padding=((1, 1), (1, 1)))
+        m = jnp.asarray(offset_mask(y.shape[1], y.shape[2], c))
+        plan = _packed_gn_plan(groups, (c,))
+        gn = _GN(jnp.ones((4 * c,)), jnp.zeros((4 * c,)), groups, plan,
+                 offset=True)
+        got = np.asarray(gn(y * m))
+        # compare at the valid positions: unpack the offset grid
+        b, ho, wo, _ = got.shape
+        full = got.reshape(b, ho, wo, 2, 2, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, 2 * ho, 2 * wo, c)
+        np.testing.assert_allclose(full[:, 1:-1, 1:-1], ref,
+                                   rtol=1e-4, atol=1e-4)

@@ -256,6 +256,12 @@ def main():
             blocks._ENTRY_BARRIER = False
         elif v == "packed-sampler":
             bench_packed_sampler("packed sampler", make_net())
+        elif v == "packed-sampler-dense":
+            # A/B leg: dense 3x3 packed res-block kernels (pre-round-3)
+            from sddm_tpu.models import unet_packed
+            unet_packed._OFFSET_RB = False
+            bench_packed_sampler("packed sampler dense-rb", make_net())
+            unet_packed._OFFSET_RB = True
         elif v == "packed-trace":
             bench_packed_sampler("packed sampler traced", make_net(),
                                  trace=True)
