@@ -57,14 +57,28 @@ class DiffusionEmbedding(nn.Module):
 
 
 class ConvTranspose(nn.Module):
-    """TPU-layout-friendly stand-in for ``flax.linen.ConvTranspose`` at C=1.
+    """TPU-layout-friendly 16x time upsampler equal to flax's
+    ``ConvTranspose(1, (3, 32), strides=(1, 16), "VALID")`` + the torch
+    output-size crop ([1:-1] freq, [8:-8] time).
 
     flax's NHWC transposed conv on [B, freq, time, 1] leaves a trailing
     unit channel that TPU tiled layouts pad to 128 lanes — a 128x HBM
     blowup (17 GB at the DiffWave recipe's [8, 513, 16384, 1]
-    intermediate).  Same math, param names, shapes, and init as the flax
-    module (checkpoints and the torch importer are unaffected), computed
-    in NCHW so the minor axes are (freq, time)."""
+    intermediate; XLA re-derives the same layout under NCHW dimension
+    numbers too).  Instead the stride-16 transposed conv is decomposed
+    exactly into its 16 output phases — a [6, 16] matmul over (2 time
+    taps x 3 freq taps) shifted copies, with FREQ in the lane axis:
+
+        y[b, 16q + p - 8, f] = sum_{df, m} x[b, q - m, f + 1 - df]
+                               * K[2 - df, 31 - (p + 16m)]
+
+    (kernel reversed in both axes: lax.conv_transpose correlates with the
+    flipped kernel — pinned empirically against the flax module, exact to
+    0 ulp).  Same param names/shapes/init as the flax module, so
+    checkpoints and the torch importer are unaffected.
+
+    Contract: input [B, T, F], output [B, 16T, F] (already cropped).
+    """
 
     features: int
     kernel_size: tuple
@@ -75,16 +89,25 @@ class ConvTranspose(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
+        assert (kh, kw) == (3, 32) and self.strides == (1, 16)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (kh, kw, x.shape[-1], self.features), jnp.float32)
+            (kh, kw, 1, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        y = jax.lax.conv_transpose(
-            jnp.moveaxis(x, -1, 1), kernel.astype(self.dtype),
-            self.strides, self.padding,
-            dimension_numbers=("NCHW", "HWIO", "NCHW"))
-        return jnp.moveaxis(y, 1, -1) + bias.astype(self.dtype)
+        b, t, f = x.shape
+        k = kernel[::-1, ::-1, 0, 0].astype(self.dtype)  # [3, 32] flipped
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
+        stacks = []
+        for df in range(3):
+            s = xp[:, :, 2 - df:2 - df + f]                # x[f + 1 - df]
+            stacks.append(jnp.pad(s, ((0, 0), (0, 1), (0, 0))))  # x[q]
+            stacks.append(jnp.pad(s, ((0, 0), (1, 0), (0, 0))))  # x[q-1]
+        big = jnp.stack(stacks, axis=2)                    # [B, T+1, 6, F]
+        w6 = k.reshape(3, 2, 16).reshape(6, 16)            # [(df, m), p]
+        y = jnp.einsum("bqmf,mp->bqpf", big, w6)
+        y = y.reshape(b, (t + 1) * 16, f)[:, 8:8 + 16 * t]
+        return y + bias.astype(self.dtype)
 
 
 class SpectrogramUpsampler(nn.Module):
@@ -95,18 +118,15 @@ class SpectrogramUpsampler(nn.Module):
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
-        # treat (freq, time) as a 2-D image with 1 channel
-        x = spec[..., None].astype(self.dtype)  # [B, freq, time, 1]
+        # [B, freq, time] -> [B, time, freq]: freq rides the lane axis
+        x = jnp.swapaxes(spec, 1, 2).astype(self.dtype)
         for _ in range(2):
             x = ConvTranspose(
                 1, (3, 32), strides=(1, 16), padding="VALID",
                 dtype=self.dtype,
             )(x)
-            # torch: out = (in-1)*16 - 2*8 + 32; VALID gives (in-1)*16 + 32,
-            # so crop pad=8 per side on time and pad=1 per side on freq
-            x = x[:, 1:-1, 8:-8, :]
             x = nn.leaky_relu(x, 0.4)
-        return x[..., 0]  # [B, freq, time*256]
+        return jnp.swapaxes(x, 1, 2)  # [B, freq, time*256]
 
 
 class ResidualBlock(nn.Module):

@@ -97,6 +97,7 @@ class TestPackedTrainEngine:
             g1, g2,
         )
 
+    @pytest.mark.slow  # ~30 s: init compiles the full flax module once
     def test_init_is_checkpoint_compatible(self):
         net, sched, base, params = tiny_setup()
         tmodel = SDDM(sched, PackedTrainUNetModified2(net),
