@@ -147,3 +147,33 @@ class TestWaveGradFamily:
         x = jnp.zeros((1, 1, n))
         out, _ = _run(net, x, x, jnp.full((1, 1, 1), 0.5))
         assert out.shape == (1, 1, n)
+
+
+class TestSpectrogramUpsampler:
+    def test_matches_flax_conv_transpose(self):
+        """The einsum 16-phase decomposition (models/diffwave.py::
+        ConvTranspose — the TPU form that avoids the C=1 lane-pad OOM)
+        must equal flax's ConvTranspose + torch output-size crop."""
+        import flax.linen as nn
+        import numpy as np
+
+        from sddm_tpu.models.diffwave import ConvTranspose
+
+        rng = np.random.default_rng(3)
+        b, f, t = 2, 9, 5
+        x = jnp.asarray(rng.standard_normal((b, f, t, 1)).astype(np.float32))
+        k = rng.standard_normal((3, 32, 1, 1)).astype(np.float32)
+        bias = rng.standard_normal((1,)).astype(np.float32)
+        params = {"params": {"kernel": jnp.asarray(k),
+                             "bias": jnp.asarray(bias)}}
+
+        ref = nn.ConvTranspose(
+            1, (3, 32), strides=(1, 16), padding="VALID"
+        ).apply(params, x)[:, 1:-1, 8:-8, 0]          # [B, F, 16T]
+
+        got = ConvTranspose(
+            1, (3, 32), strides=(1, 16), padding="VALID"
+        ).apply(params, jnp.swapaxes(x[..., 0], 1, 2))  # [B, 16T, F]
+        np.testing.assert_allclose(
+            np.swapaxes(np.asarray(got), 1, 2), np.asarray(ref),
+            rtol=1e-5, atol=1e-5)
