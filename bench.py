@@ -40,8 +40,8 @@ def main():
     global BATCH
     import argparse
 
-    # On-chip A/B (2026-08-16, v5e): packed 35.6x RTF vs base 20.1x -> packed
-    # is the default engine
+    # On-chip A/B history (v5e, T=100, batch 8): base 20.1x -> dense packed
+    # 35.6x (round 2) -> offset-phase packed 46.1x (round 3, default, exact quality parity)
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--engine", choices=("packed", "base"), default="packed",

@@ -50,9 +50,12 @@ _STATS_BARRIER = True
 # Inside a res block the two 3x3 convs can instead hop to an OFFSET-packed
 # grid and back with 2x2 kernels that are 9/16 nonzero — 2.25x fewer FLOPs
 # for identical math (ops/packed.py::pack_kernel_s1_to_offset/_from_offset).
-# Module-level so tools/A-B probes can flip it; exactness is asserted either
-# way in tests/test_packed_model.py.
-_OFFSET_RB = True
+# Module-level so tools/A-B probes can flip it (SDDM_OFFSET_RB=0 selects the
+# round-2 dense kernels); exactness is asserted either way in
+# tests/test_packed_model.py.
+import os as _os
+
+_OFFSET_RB = _os.environ.get("SDDM_OFFSET_RB", "1") != "0"
 
 from functools import lru_cache
 
@@ -175,8 +178,15 @@ class _GN:
         # shapes — finite input, NaN stats (artifacts/nan_repro/README.md)
         s1c = jnp.sum(x32, axis=(1, 2))
         s2c = jnp.sum(x32 * x32, axis=(1, 2))
-        s1 = s1c @ self.onehot
-        s2 = s2c @ self.onehot
+        # HIGHEST precision: TPU's DEFAULT f32 matmul runs bf16-grade
+        # passes, which puts ~1e-3 relative error on every group's
+        # mean/var — a globally-structured perturbation that measurably
+        # degraded 100-step sampler quality (PERFORMANCE.md round-3
+        # quality forensics).  These are [B, 4C] @ [4C, G] — negligible.
+        s1 = jnp.matmul(s1c, self.onehot,
+                        precision=jax.lax.Precision.HIGHEST)
+        s2 = jnp.matmul(s2c, self.onehot,
+                        precision=jax.lax.Precision.HIGHEST)
         mean = s1 / n
         # same clamp as above (flax GroupNorm semantics): the one-pass
         # moment difference goes (tiny) negative under cancellation
@@ -480,8 +490,13 @@ class PackedUNetModified2:
             # from the packed kernel's spatial shape.
             offset = e["Block_0"]["conv"]["kernel"].shape[0] == 2
             blk = e["Block_0"]
-            y = blk["gn"](x).astype(x.dtype)
-            y = jax.nn.silu(y)
+            # keep the GN output in f32 THROUGH the swish, casting once at
+            # the conv input — mirrors flax's promotion semantics.  The
+            # round-3 cast-then-silu order added one extra bf16 rounding
+            # (eps ~ 4e-3) per GN site, which measurably knocked sampler
+            # trajectories into worse basins on bistable chunks
+            # (PERFORMANCE.md round-3 quality forensics).
+            y = jax.nn.silu(blk["gn"](x)).astype(x.dtype)
             y = _conv(y, blk["conv"]["kernel"], blk["conv"]["bias"],
                       padding=((1, 1), (1, 1)) if offset else "SAME")
             fwa = t_emb @ e["fwa"]["kernel"].astype(t_emb.dtype) + \
@@ -500,13 +515,11 @@ class PackedUNetModified2:
                     _offset_mask_np(y.shape[1], y.shape[2],
                                     y.shape[3] // 4), y.dtype)
                 y = y * mask
-                y2 = blk["gn"](y).astype(y.dtype)
-                y2 = jax.nn.silu(y2) * mask
+                y2 = (jax.nn.silu(blk["gn"](y)) * mask).astype(y.dtype)
                 y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"],
                            padding=((0, 0), (0, 0)))
             else:
-                y2 = blk["gn"](y).astype(y.dtype)
-                y2 = jax.nn.silu(y2)
+                y2 = jax.nn.silu(blk["gn"](y)).astype(y.dtype)
                 y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"])
             if "res" in e:
                 x = _conv(x, e["res"]["kernel"], e["res"]["bias"])
@@ -558,8 +571,7 @@ class PackedUNetModified2:
                 rb_i += 1
 
         e = pp["Block_0"]
-        out = e["gn"](h).astype(h.dtype)
-        out = jax.nn.silu(out)
+        out = jax.nn.silu(e["gn"](h)).astype(h.dtype)
         out = _conv(out, e["conv"]["kernel"], e["conv"]["bias"])
         if lp(0):
             out = d2s(out)

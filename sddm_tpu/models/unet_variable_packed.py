@@ -254,8 +254,10 @@ class PackedUNetVariable:
         def run_vrb(e, x, t_lvl, is_packed):
             offset = e["Block_0"]["conv"]["kernel"].shape[0] == 2
             blk = e["Block_0"]
-            y = blk["gn"](x).astype(x.dtype)
-            y = jax.nn.silu(y)
+            # f32 through the swish, one cast at the conv input (see
+            # unet_packed.run_rb — the extra bf16 rounding measurably
+            # degraded sampler quality)
+            y = jax.nn.silu(blk["gn"](x)).astype(x.dtype)
             y = _conv(y, blk["conv"]["kernel"], blk["conv"]["bias"],
                       padding=((1, 1), (1, 1)) if offset else "SAME")
             noise = _conv(t_lvl, e["noise"]["kernel"], e["noise"]["bias"])
@@ -271,13 +273,11 @@ class PackedUNetVariable:
                     _offset_mask_np(y.shape[1], y.shape[2],
                                     y.shape[3] // 4), y.dtype)
                 y = y * mask
-                y2 = blk["gn"](y).astype(y.dtype)
-                y2 = jax.nn.silu(y2) * mask
+                y2 = (jax.nn.silu(blk["gn"](y)) * mask).astype(y.dtype)
                 y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"],
                            padding=((0, 0), (0, 0)))
             else:
-                y2 = blk["gn"](y).astype(y.dtype)
-                y2 = jax.nn.silu(y2)
+                y2 = jax.nn.silu(blk["gn"](y)).astype(y.dtype)
                 y2 = _conv(y2, blk["conv"]["kernel"], blk["conv"]["bias"])
             if "res" in e:
                 x = _conv(x, e["res"]["kernel"], e["res"]["bias"])
@@ -344,8 +344,7 @@ class PackedUNetVariable:
                 rb_i += 1
 
         e = pp["Block_0"]
-        out = e["gn"](h).astype(h.dtype)
-        out = jax.nn.silu(out)
+        out = jax.nn.silu(e["gn"](h)).astype(h.dtype)
         out = _conv(out, e["conv"]["kernel"], e["conv"]["bias"])
         if lp(0):
             out = d2s(out)

@@ -246,3 +246,42 @@ class TestOffsetPhase:
             0, 1, 3, 2, 4, 5).reshape(b, 2 * ho, 2 * wo, c)
         np.testing.assert_allclose(full[:, 1:-1, 1:-1], ref,
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestBf16NumericsParity:
+    """Round-3 quality-forensics regression guard (PERFORMANCE.md): the
+    packed engines' bf16 forward must not carry MORE rounding error than
+    the plain bf16 forward — an extra bf16 cast per GN site (eps ~ 4e-3)
+    measurably degraded 100-step sampler quality before the cast-reorder
+    fix.  All other exactness suites run f32 and cannot see this."""
+
+    def test_packed_bf16_error_matches_plain(self):
+        from sddm_tpu.models import UNetModified2
+        from sddm_tpu.models.unet_packed import PackedUNetModified2
+
+        ns = 72
+
+        def make(dtype):
+            return UNetModified2(
+                num_samples=ns, inner_channel=8, norm_groups=4,
+                channel_mults=(1, 2), res_blocks=1, segment_len=16,
+                segment_stride=8, dtype=dtype)
+
+        net32, net16 = make(jnp.float32), make(jnp.bfloat16)
+        rng = np.random.RandomState(0)
+        cond = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 1, ns)).astype(np.float32))
+        x_t = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 1, ns)).astype(np.float32))
+        lvl = jnp.full((2, 1, 1), 0.7, jnp.float32)
+        params = net32.init(jax.random.PRNGKey(0), cond, x_t, lvl)
+
+        truth = np.asarray(net32.apply(params, cond, x_t, lvl), np.float64)
+        plain = np.asarray(net16.apply(params, cond, x_t, lvl), np.float64)
+        eng = PackedUNetModified2(net16)
+        packed = np.asarray(
+            eng.apply(eng.pack(params), cond, x_t, lvl), np.float64)
+
+        e_plain = np.sqrt(((plain - truth) ** 2).mean())
+        e_packed = np.sqrt(((packed - truth) ** 2).mean())
+        # parity within reassociation noise; the pre-fix extra-cast bug
+        # showed up as a ~15% systematic excess at flagship scale
+        assert e_packed <= 1.3 * e_plain + 1e-6, (e_packed, e_plain)

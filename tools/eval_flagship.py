@@ -62,13 +62,17 @@ def main():
                     help="plain flax engine instead of the packed engine")
     ap.add_argument("--limit", type=int, default=0,
                     help="evaluate only the first N files (0 = all)")
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 activations (numerics-ladder probe; "
+                    "serving default is bf16)")
     ns = ap.parse_args()
 
     sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
     net = UNetModified2(
         num_samples=NUM_SAMPLES, inner_channel=32, norm_groups=32,
         channel_mults=(1, 2, 3, 4, 5), res_blocks=1,
-        segment_len=128, segment_stride=64, dtype=jnp.bfloat16,
+        segment_len=128, segment_stride=64,
+        dtype=jnp.float32 if ns.f32 else jnp.bfloat16,
     )
     base = SDDM(sched, net, p_transition="condition_in")
     key = jax.random.PRNGKey(0)
