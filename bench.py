@@ -41,7 +41,7 @@ def main():
     import argparse
 
     # On-chip A/B history (v5e, T=100, batch 8): base 20.1x -> dense packed
-    # 35.6x (round 2) -> offset-phase packed 46.1x (round 3, default, exact quality parity)
+    # 35.6x (round 2) -> offset-phase packed 50.5x (round 3, default, exact quality parity)
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--engine", choices=("packed", "base"), default="packed",

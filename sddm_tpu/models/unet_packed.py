@@ -43,7 +43,17 @@ from ..ops.packed import (
 )
 
 
-_STATS_BARRIER = True
+# GN-statistics optimization barrier: OFF by default since round 3.  It
+# was added as a mitigation for the round-2/3 packed NaN episode, whose
+# actual root cause turned out to be the missing one-pass variance clamp
+# (fixed in _GN).  Post-fix evidence for removal: trained-weight
+# finiteness 12/12 on-chip calls (tools/barrier_ab.py) plus a clean full
+# 200-file evaluation at exact quality parity, and the barrier costs
+# ~9% RTF (46.1x -> 50.5x).  SDDM_STATS_BARRIER=1 restores it; the
+# serving canary (Enhancer.validate) and bench warmup validation remain
+# as independent backstops.
+_STATS_BARRIER = __import__("os").environ.get(
+    "SDDM_STATS_BARRIER", "0") != "0"
 
 # Offset-phase res-block convolutions (round 3): the dense 3x3 packed
 # kernels are only 1/4 nonzero, so the MXU does 4x the plain conv's FLOPs.
@@ -140,18 +150,10 @@ class _GN:
         self.bias = bias
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # barrier: on this TPU stack, letting the GN statistics fuse with
-        # the producing conv's relayout corrupts the operand at flagship
-        # shapes (finite conv output, NaN stats — artifacts/nan_repro/).
-        # The barrier forces a canonical materialization first.
-        # NOTE round 3: the "NaN stats from finite input" symptom also
-        # matched the (since-fixed) unclamped one-pass variance
-        # cancellation.  On-chip A/B post-clamp (tools/barrier_ab.py,
-        # TRAINED flagship weights — the regime that broke): barrier OFF
-        # is fully finite over repeated calls and the timing delta
-        # (274 vs 263 ms/call) is inside this container's run-to-run
-        # drift.  The barrier stays ON as cheap insurance; the serving
-        # canary (Enhancer.validate) is the independent backstop.
+        # optional barrier before the GN statistics (OFF by default — see
+        # the _STATS_BARRIER note at module top: the NaN it mitigated was
+        # root-caused to the missing variance clamp below, and the barrier
+        # costs ~9% RTF)
         if _STATS_BARRIER:
             x = jax.lax.optimization_barrier(x)
         x32 = x.astype(jnp.float32)
