@@ -248,6 +248,7 @@ class TestOffsetPhase:
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # two full flagship-ish compiles (~75 s) — full tier only
 class TestBf16NumericsParity:
     """Round-3 quality-forensics regression guard (PERFORMANCE.md): the
     packed engines' bf16 forward must not carry MORE rounding error than
