@@ -118,13 +118,13 @@ def build_network(config, role="infer", **kwargs):
     # tests in tests/test_packed_train.py), lane-aligned convs on TPU
     if (config.get("packed") if hasattr(config, "get") else None):
         if net_cfg["type"] not in (
-            "UNetModified2", "UNetModified2_VariableNoiseLevel"
+            "UNetModified2", "UNetModified2_VariableNoiseLevel", "DiffWave"
         ):
             raise ValueError(
                 '"packed": true has no packed engine for network type '
                 f'{net_cfg["type"]!r}; supported: UNetModified2, '
-                "UNetModified2_VariableNoiseLevel (remove the flag to train "
-                "the plain network)"
+                "UNetModified2_VariableNoiseLevel, DiffWave (remove the "
+                "flag to train the plain network)"
             )
         if getattr(net, "dropout", 0):
             raise ValueError("packed training requires dropout=0")
@@ -137,6 +137,12 @@ def build_network(config, role="infer", **kwargs):
                 "checkpoints remain packed-infer compatible"
             )
             return net
+        if net_cfg["type"] == "DiffWave":
+            # fused Pallas residual-stack engine (inference only; same
+            # checkpoints) — models/diffwave_fused.py
+            from .models.diffwave_fused import FusedDiffWave
+
+            return FusedDiffWave(net)
         if net_cfg["type"] == "UNetModified2":
             from .models.unet_packed import PackedTrainUNetModified2
 

@@ -14,6 +14,7 @@ from .unet_variable import UNetModified2_VariableNoiseLevel
 from .snr_estimator import SNREstimator
 from .tstnn import TSTNN
 from .diffwave import DiffWave
+from .diffwave_fused import FusedDiffWave
 from .wavegrad import (
     DenoiseWaveGrad1,
     DenoiseWaveGrad2,

@@ -22,6 +22,34 @@ import numpy as np
 from flax import linen as nn
 
 
+class Conv(nn.Conv):
+    """nn.Conv with a fast path for 1x1 convs whose input has ONE channel.
+
+    XLA's TPU conv emitter for a [B, T, 1] -> [B, T, C] pointwise conv
+    (``EmitAllBatchInSublanes``) runs on the vector unit at ~3 TFLOP/s and
+    cost 1.24 ms/step of the DiffWave sampler (15% of the step) for what is
+    mathematically a broadcast multiply: out[b,t,c] = x[b,t,0]*k[0,0,c]+b[c].
+    Parameters (names, shapes, init) are identical to nn.Conv — checkpoints
+    and torch imports are unaffected; flax auto-naming keys on the class
+    name, so ``Conv_*`` scopes are preserved.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        k1 = k[0] if isinstance(k, (tuple, list)) else k
+        if not (k1 == 1 and x.shape[-1] == 1 and self.feature_group_count == 1):
+            return super().__call__(x)
+        kernel = self.param(
+            "kernel", self.kernel_init, (1, 1, self.features),
+            self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        return x * kernel[0, 0][None, None, :] + bias[None, None, :]
+
+
 def _kaiming_conv(features, kernel, dilation=1, zero_init=False, dtype=jnp.float32):
     pad = dilation * (kernel - 1) // 2
     init = (
@@ -29,7 +57,7 @@ def _kaiming_conv(features, kernel, dilation=1, zero_init=False, dtype=jnp.float
         if zero_init
         else nn.initializers.kaiming_normal()
     )
-    return nn.Conv(
+    return Conv(
         features, (kernel,), kernel_dilation=(dilation,),
         padding=((pad, pad),), kernel_init=init, dtype=dtype,
     )

@@ -142,7 +142,11 @@ class SDDM:
         return jax.random.normal(key, condition.shape, condition.dtype)
 
     # -- one reverse step, mode-resolved statically ------------------------
-    def _reverse_step(self, params, condition, x_t, t, key, noise=None):
+    def _reverse_step(self, params, condition, x_t, t, key, noise=None,
+                      cond_ctx=None):
+        # ``cond_ctx``: optional precomputed condition context from the
+        # network's ``prepare_condition`` hook — used for the network
+        # apply only; transitions keep the raw condition
         sched = self.diffusion
         if self.noise_condition == "sqrt_alpha_bar":
             nl = sched.sqrt_alpha_bar[t] * jnp.ones(
@@ -153,7 +157,9 @@ class SDDM:
             nl = t_orig.astype(condition.dtype) * jnp.ones(
                 condition.shape[:1] + (1,) * (condition.ndim - 1), condition.dtype
             )
-        predicted = self._apply(params, condition, x_t, nl, True)
+        predicted = self._apply(
+            params, condition if cond_ctx is None else cond_ctx, x_t, nl,
+            True)
         if self.p_transition in ("original", "condition_in"):
             return tr.p_transition(sched, x_t, t, predicted, key, noise)
         if self.p_transition == "sr3":
@@ -196,11 +202,20 @@ class SDDM:
         x_T = self._x_T(k_init, condition, xT_noise)
         ts = jnp.arange(self.num_timesteps, 0, -1)
 
+        # engine hook: networks exposing ``prepare_condition`` (e.g. the
+        # fused DiffWave engine, models/diffwave_fused.py) precompute their
+        # condition-derived, step-invariant work ONCE here — outside the
+        # scan — instead of relying on XLA's loop-invariant code motion
+        prep_cond = getattr(self.network, "prepare_condition", None)
+        cond_ctx = (prep_cond(params, condition) if prep_cond is not None
+                    else None)
+
         def step(carry, xs):
             t, nz = xs if step_noises is not None else (xs, None)
             x_t, k = carry
             k, sub = jax.random.split(k)
-            x_next = self._reverse_step(params, condition, x_t, t, sub, nz)
+            x_next = self._reverse_step(params, condition, x_t, t, sub, nz,
+                                        cond_ctx)
             return (x_next, k), (x_next if return_trajectory else None)
 
         xs = (ts, step_noises) if step_noises is not None else ts
@@ -275,7 +290,8 @@ class SDDM_spectrogram(SDDM):
         n = self.hop_samples * condition.shape[-1]
         return jax.random.normal(key, (b, 1, n))
 
-    def _reverse_step(self, params, condition, x_t, t, key, noise=None):
+    def _reverse_step(self, params, condition, x_t, t, key, noise=None,
+                      cond_ctx=None):
         sched = self.diffusion
         shape = condition.shape[:1] + (1,) * (condition.ndim - 1)
         if self.noise_condition == "sqrt_alpha_bar":
@@ -283,7 +299,9 @@ class SDDM_spectrogram(SDDM):
         else:
             t_orig = self._t_map[t] if self._t_map is not None else t
             nl = t_orig.astype(x_t.dtype) * jnp.ones(shape, x_t.dtype)
-        predicted = self._apply(params, condition, x_t, nl, True)
+        predicted = self._apply(
+            params, condition if cond_ctx is None else cond_ctx, x_t, nl,
+            True)
         # spectrogram model always uses the original transition
         # (model/model.py:239,255)
         return tr.p_transition(sched, x_t, t, predicted, key, noise)

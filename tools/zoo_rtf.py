@@ -58,16 +58,24 @@ def bench(name, model, params, condition, sample_rate, n_audio, t_steps,
     return rtf
 
 
-def bench_diffwave():
+def bench_diffwave(fused=False):
     t_steps, hop, frames, sr = 200, 256, 64, 16000
     sched = DiffusionSchedule.create("linear", t_steps, 1e-4, 0.02)
     net = DiffWave(freq_bins=513, residual_channels=64, residual_layers=30,
                    dilation_cycle_length=10, dtype=jnp.bfloat16)
-    model = SDDM_spectrogram(sched, net, hop_samples=hop,
+    if fused:
+        from sddm_tpu.models import FusedDiffWave
+        net_or_engine = FusedDiffWave(net)
+    else:
+        net_or_engine = net
+    model = SDDM_spectrogram(sched, net_or_engine, hop_samples=hop,
                              noise_condition="time_step")
     spec = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 513, frames))
-    params = model.init(jax.random.PRNGKey(0), spec.shape)
-    bench("diffwave", model, params, spec, sr, hop * frames, t_steps)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((BATCH, 513, frames)),
+        jnp.zeros((BATCH, 1, hop * frames)), jnp.ones((BATCH, 1, 1)))
+    bench("diffwave_fused" if fused else "diffwave", model, params, spec,
+          sr, hop * frames, t_steps)
 
 
 def bench_wavegrad():
@@ -81,8 +89,10 @@ def bench_wavegrad():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["diffwave", "wavegrad"]
+    which = sys.argv[1:] or ["diffwave", "diffwave_fused", "wavegrad"]
     if "diffwave" in which:
         bench_diffwave()
+    if "diffwave_fused" in which:
+        bench_diffwave(fused=True)
     if "wavegrad" in which:
         bench_wavegrad()
