@@ -61,3 +61,39 @@ class TestGroupNormSwish:
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2,
         )
+
+
+class TestGnSilu:
+    """experimental/pallas_gn_silu.py must match the packed engine's
+    _GN + silu (+ offset mask) chain elementwise (it lost its on-chip A/B
+    — see its docstring — but stays exactness-pinned)."""
+
+    @pytest.mark.parametrize("H,W,c,groups,offset", [
+        (9, 5, 8, 4, True),
+        (17, 9, 16, 8, False),
+        (13, 7, 8, 4, True),
+    ])
+    def test_matches_packed_gn(self, H, W, c, groups, offset):
+        from sddm_tpu.experimental.pallas_gn_silu import gn_silu
+        from sddm_tpu.models.unet_packed import (
+            _GN,
+            _offset_mask_np,
+            _packed_gn_plan,
+        )
+
+        C4 = 4 * c
+        plan = _packed_gn_plan(groups, (c,))
+        key = jax.random.PRNGKey(H)
+        x = jax.random.normal(key, (2, H, W, C4))
+        if offset:
+            x = x * jnp.asarray(_offset_mask_np(H, W, c), x.dtype)
+        sc = jax.random.normal(jax.random.fold_in(key, 1), (C4,))
+        bi = jax.random.normal(jax.random.fold_in(key, 2), (C4,))
+        gn = _GN(sc, bi, groups, plan, offset=offset)
+        want = jax.nn.silu(gn(x))
+        if offset:
+            want = want * jnp.asarray(_offset_mask_np(H, W, c), want.dtype)
+        got = gn_silu(x, sc, bi, jnp.asarray(plan[2]), count=plan[3],
+                      offset=offset, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
