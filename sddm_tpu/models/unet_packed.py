@@ -344,6 +344,13 @@ class PackedUNetModified2:
                     w, b = kit.s1(w), kit.tile4(b)
             elif kind == "down":
                 if packed_in and packed_out:
+                    # NOTE: the 3x3 packed->packed kernel is only 1/4
+                    # nonzero (4x the plain conv's MACs), but the
+                    # alternative — the 9/16-dense 2x2 unpacked-out form +
+                    # an in-graph space-to-depth repack — measured SLOWER
+                    # on chip (50.7x -> 47.9x sampler RTF): the relayout
+                    # transposes cost more than the redundant MACs, which
+                    # ride the otherwise-underutilized MXU.
                     w, b = kit.s2p(w), kit.tile4(b)
                 elif packed_in:
                     w = kit.s2u(w)
