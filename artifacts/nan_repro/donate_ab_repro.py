@@ -26,7 +26,10 @@ tx = make_optimizer(dict(cfg["optimizer"]))
 mesh = make_mesh()
 state = replicate(TrainState.create(params, tx), mesh)
 DONATE = os.environ.get("DONATE", "1") == "1"
+def deq(x):  # RAM-cached loader emits int16 PCM; dequant on device like Trainer._dequant
+    return x.astype(jnp.float32) / 32768.0 if x.dtype == jnp.int16 else x
 def step(state, k, tgt, cond):
+    tgt, cond = deq(tgt), deq(cond)
     def loss_fn(p):
         pr, nz = model.forward(p, k, tgt, cond, deterministic=False)
         return l1_loss(pr, nz)

@@ -35,7 +35,7 @@ from sddm_tpu.utils import ConfigParser
 EXPAND_ORDER = 3
 
 
-def main(config, continuous=False, num_steps=None):
+def main(config, continuous=False, num_steps=None, ddim_eta=None):
     logger = config.get_logger("infer")
     datatype = config["infer_dataset"]["args"]["datatype"]
     sample_rate = config["sample_rate"]
@@ -65,6 +65,9 @@ def main(config, continuous=False, num_steps=None):
     diffusion = build_diffusion(config)
     network = build_network_with_samples(config)
     model = build_arch(config, diffusion, network)
+    if ddim_eta is not None:
+        model = model.with_ddim(ddim_eta)
+        logger.info("DDIM sampler (eta=%g)", ddim_eta)
     if num_steps is not None:
         model = model.with_sampling_steps(num_steps)
         logger.info("fast sampling: %d reverse steps", model.num_timesteps)
@@ -185,6 +188,13 @@ if __name__ == "__main__":
         help="fast sampling: run this many reverse steps (<= T) over a "
         "subsequence of the trained schedule",
     )
+    args.add_argument(
+        "--ddim", type=float, default=None, nargs="?", const=0.0,
+        metavar="ETA",
+        help="serve with the DDIM sampler (deterministic at the default "
+        "eta=0); combine with --steps for few-step enhancement",
+    )
     config = ConfigParser.from_args(args)
     parsed = args.parse_args()
-    main(config, continuous=parsed.continuous, num_steps=parsed.steps)
+    main(config, continuous=parsed.continuous, num_steps=parsed.steps,
+         ddim_eta=parsed.ddim)

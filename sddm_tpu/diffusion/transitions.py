@@ -122,6 +122,45 @@ def p_transition_conditional(
     return _clip(x_t_1)
 
 
+def p_transition_ddim(
+    sched: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    predicted: jnp.ndarray,
+    key: jax.Array,
+    noise: jnp.ndarray | None = None,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """DDIM reverse step (Song et al. 2021) — TPU-era extension beyond the
+    reference (which only ships ancestral samplers, model/diffusion.py).
+
+    x0_hat = (x_t - sqrt(1-ab_t) eps_hat) / sqrt(ab_t)
+    x_{t-1} = sqrt(ab_{t-1}) x0_hat + sqrt(1-ab_{t-1}-sigma^2) eps_hat
+              + sigma z,   sigma = eta sqrt((1-ab_{t-1})/(1-ab_t))
+                                       sqrt(1 - ab_t/ab_{t-1})
+
+    ``eta=0`` is the deterministic DDIM ODE step (no PRNG consumed in the
+    update); ``eta=1`` recovers DDPM-like variance.  The table convention
+    (index 0 is the zero-step pad with alpha_bar=1) makes ``t-1`` lookups
+    exact at t=1: ab_0=1 gives x_0 = x0_hat with zero noise, branchlessly.
+    Composes with ``subsample_schedule`` for few-step sampling.  The output
+    clamp matches this module's other transitions (reference clamps every
+    x_{t-1} to [-1, 1])."""
+    ab_t = sched.alpha_bar[t]
+    ab_prev = sched.alpha_bar[t - 1]
+    x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * predicted) / jnp.sqrt(ab_t)
+    sigma = eta * jnp.sqrt(
+        jnp.maximum((1.0 - ab_prev) / (1.0 - ab_t), 0.0)
+    ) * jnp.sqrt(jnp.maximum(1.0 - ab_t / ab_prev, 0.0))
+    dir_coeff = jnp.sqrt(jnp.maximum(1.0 - ab_prev - jnp.square(sigma), 0.0))
+    x_t_1 = jnp.sqrt(ab_prev) * x0_hat + dir_coeff * predicted
+    if eta != 0.0:
+        if noise is None:
+            noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+        x_t_1 = x_t_1 + _noise_gate(t, x_t.dtype) * sigma * noise
+    return _clip(x_t_1)
+
+
 # --------------------------------------------------------------------------
 # Forward (q) transitions — training-time noising.
 # --------------------------------------------------------------------------

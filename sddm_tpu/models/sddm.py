@@ -34,7 +34,8 @@ from ..diffusion.schedule import DiffusionSchedule
 from ..ops.framing import Segmentor
 
 NOISE_CONDITIONS = ("sqrt_alpha_bar", "time_step")
-P_TRANSITIONS = ("original", "supportive", "sr3", "conditional", "condition_in")
+P_TRANSITIONS = ("original", "supportive", "sr3", "conditional", "condition_in",
+                 "ddim")
 Q_TRANSITIONS = ("original", "conditional")
 
 
@@ -48,6 +49,7 @@ class SDDM:
         noise_condition: str = "sqrt_alpha_bar",
         p_transition: str = "original",
         q_transition: str = "original",
+        ddim_eta: float = 0.0,
     ):
         if noise_condition not in NOISE_CONDITIONS:
             raise NotImplementedError(noise_condition)
@@ -61,9 +63,31 @@ class SDDM:
         self.noise_condition = noise_condition
         self.p_transition = p_transition
         self.q_transition = q_transition
+        self.ddim_eta = float(ddim_eta)
         # set by with_sampling_steps: maps subsampled step index -> original
         # trained step index (needed for time_step conditioning)
         self._t_map = None
+
+    def with_ddim(self, eta: float = 0.0) -> "SDDM":
+        """Serving-time DDIM sampler (TPU-era extension beyond the
+        reference): a copy of this model whose reverse step is the DDIM
+        update (deterministic at ``eta=0``) on the same trained
+        eps-predictor.  Initialization keeps the noised-condition start
+        (``get_x_T``) so it is the fast drop-in for the flagship
+        ``condition_in`` recipe; compose with ``with_sampling_steps`` for
+        few-step enhancement.  Requires the unconditional q process (the
+        conditional CDiffuSE target regresses a combined noise for which
+        the DDIM x0-estimate does not hold)."""
+        if self.q_transition != "original":
+            raise NotImplementedError(
+                "DDIM requires q_transition='original'"
+            )
+        import copy
+
+        new = copy.copy(self)
+        new.p_transition = "ddim"
+        new.ddim_eta = float(eta)
+        return new
 
     def with_sampling_steps(self, num_steps: int) -> "SDDM":
         """Fast sampling: a copy of this model whose reverse sampler runs
@@ -133,7 +157,7 @@ class SDDM:
     def _x_T(self, key: jax.Array, condition: jnp.ndarray, noise=None) -> jnp.ndarray:
         if self.p_transition == "conditional":
             return tr.get_x_T_conditional(self.diffusion, condition, key, noise)
-        if self.p_transition == "condition_in":
+        if self.p_transition in ("condition_in", "ddim"):
             return tr.get_x_T(self.diffusion, condition, key, noise)
         if self.p_transition == "supportive":
             return condition
@@ -164,6 +188,10 @@ class SDDM:
             return tr.p_transition(sched, x_t, t, predicted, key, noise)
         if self.p_transition == "sr3":
             return tr.p_transition_sr3(sched, x_t, t, predicted, key, noise)
+        if self.p_transition == "ddim":
+            return tr.p_transition_ddim(
+                sched, x_t, t, predicted, key, noise, eta=self.ddim_eta
+            )
         if self.p_transition == "supportive":
             return tr.p_transition_supportive(
                 sched, x_t, t, predicted, condition, key, noise

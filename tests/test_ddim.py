@@ -1,0 +1,137 @@
+"""DDIM sampler (TPU-era extension beyond the reference; the reference
+ships only ancestral samplers, model/diffusion.py:164-223).
+
+Core invariant: with an ORACLE denoiser that returns the exact noise used
+to build x_T, every DDIM step keeps the trajectory on the closed form
+x_t = sqrt(ab_t) x_0 + sqrt(1 - ab_t) eps, so the sampler recovers x_0
+exactly (no network error, no stochasticity at eta=0).  Amplitudes are
+kept < 1/sqrt(2) so the per-step [-1, 1] clamp never engages.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sddm_tpu.diffusion import DiffusionSchedule
+from sddm_tpu.diffusion import transitions as tr
+from sddm_tpu.models import SDDM
+
+
+class OracleNet:
+    """Duck-typed 'network' that always predicts the fixed true noise."""
+
+    def __init__(self, eps):
+        self.eps = eps
+
+    def init(self, key, *a, **k):
+        return {}
+
+    def apply(self, params, condition, x_t, noise_level, **kw):
+        return self.eps.astype(x_t.dtype)
+
+
+def _setup(T=20, shape=(2, 1, 64)):
+    sched = DiffusionSchedule.create("linear", T, 1e-6, 1e-2)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x0 = 0.5 * jax.random.uniform(k1, shape, minval=-1.0, maxval=1.0)
+    eps = 0.5 * jax.random.uniform(k2, shape, minval=-1.0, maxval=1.0)
+    return sched, x0, eps
+
+
+class TestDDIMTransition:
+    def test_t1_returns_x0_hat_exactly(self):
+        """ab_0 = 1 (zero-pad convention) => the final step emits x0_hat
+        with zero noise even at eta=1."""
+        sched, x0, eps = _setup()
+        ab1 = sched.alpha_bar[1]
+        x1 = jnp.sqrt(ab1) * x0 + jnp.sqrt(1.0 - ab1) * eps
+        out = tr.p_transition_ddim(
+            sched, x1, jnp.asarray(1), eps, jax.random.PRNGKey(3), eta=1.0
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-6)
+
+    def test_eta0_consumes_no_prng(self):
+        sched, x0, eps = _setup()
+        ab = sched.alpha_bar[5]
+        x5 = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
+        a = tr.p_transition_ddim(sched, x5, jnp.asarray(5), eps,
+                                 jax.random.PRNGKey(0))
+        b = tr.p_transition_ddim(sched, x5, jnp.asarray(5), eps,
+                                 jax.random.PRNGKey(99))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_stays_on_closed_form(self):
+        """One eta=0 step from the closed-form x_t lands on the closed-form
+        x_{t-1} (the oracle trajectory is invariant)."""
+        sched, x0, eps = _setup()
+        for t in (2, 7, 19):
+            ab_t = sched.alpha_bar[t]
+            ab_p = sched.alpha_bar[t - 1]
+            x_t = jnp.sqrt(ab_t) * x0 + jnp.sqrt(1.0 - ab_t) * eps
+            want = jnp.sqrt(ab_p) * x0 + jnp.sqrt(1.0 - ab_p) * eps
+            got = tr.p_transition_ddim(
+                sched, x_t, jnp.asarray(t), eps, jax.random.PRNGKey(0)
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-6
+            )
+
+    def test_eta1_adds_noise_above_t1(self):
+        sched, x0, eps = _setup()
+        ab = sched.alpha_bar[5]
+        x5 = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
+        a = tr.p_transition_ddim(sched, x5, jnp.asarray(5), eps,
+                                 jax.random.PRNGKey(0), eta=1.0)
+        b = tr.p_transition_ddim(sched, x5, jnp.asarray(5), eps,
+                                 jax.random.PRNGKey(99), eta=1.0)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestDDIMSampler:
+    def _model(self, sched, eps, **kw):
+        return SDDM(sched, OracleNet(eps), p_transition="ddim", **kw)
+
+    def test_full_chain_recovers_x0(self):
+        """x_T = get_x_T(condition=x0, noise=eps) is ON the closed form, so
+        the T-step eta=0 scan recovers x0 exactly."""
+        sched, x0, eps = _setup()
+        model = self._model(sched, eps)
+        out = model.infer({}, jax.random.PRNGKey(0), x0,
+                          noise_stream=(eps, jnp.zeros((sched.num_timesteps,)
+                                                       + x0.shape)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-5)
+
+    def test_subsampled_chain_recovers_x0(self):
+        """DDIM composes with with_sampling_steps: a 5-step subsequence of
+        the 20-step schedule also recovers x0 (the oracle trajectory only
+        needs consistent alpha_bar lookups, not every step)."""
+        sched, x0, eps = _setup()
+        model = self._model(sched, eps).with_sampling_steps(5)
+        assert model.num_timesteps == 5
+        out = model.infer({}, jax.random.PRNGKey(0), x0,
+                          noise_stream=(eps, jnp.zeros((5,) + x0.shape)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-5)
+
+    def test_deterministic_across_keys(self):
+        sched, x0, eps = _setup()
+        model = self._model(sched, eps)
+        a = model.infer({}, jax.random.PRNGKey(0), x0,
+                        noise_stream=(eps, jnp.zeros((20,) + x0.shape)))
+        b = model.infer({}, jax.random.PRNGKey(7), x0,
+                        noise_stream=(eps, jnp.zeros((20,) + x0.shape)))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_with_ddim_copy(self):
+        sched, x0, eps = _setup()
+        base = SDDM(sched, OracleNet(eps), p_transition="condition_in")
+        fast = base.with_ddim(0.3)
+        assert fast.p_transition == "ddim" and fast.ddim_eta == 0.3
+        assert base.p_transition == "condition_in"  # original untouched
+
+    def test_with_ddim_rejects_conditional_q(self):
+        sched, x0, eps = _setup()
+        model = SDDM(sched, OracleNet(eps), p_transition="conditional",
+                     q_transition="conditional")
+        with pytest.raises(NotImplementedError):
+            model.with_ddim()

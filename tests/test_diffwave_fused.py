@@ -139,6 +139,8 @@ class TestFusedEngine:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow  # kernel math guarded in the fast tier by
+    # TestKernelVsReference[5-7]; this engine-level interpret pass costs ~17 s
     def test_apply_matches_flax_kernel_interpret(self):
         net, _, _, spec, params, x_t, t, _ = self._setup()
         want = net.apply(params, spec, x_t, t)

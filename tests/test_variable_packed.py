@@ -34,7 +34,15 @@ def tiny_inputs():
 
 
 class TestExactness:
-    @pytest.mark.parametrize("levels", [0, 1, 2])
+    # fast tier keeps levels=2 (full packing — the production configuration);
+    # the partial-packing variants and the res_blocks=2 topology are slow-tier
+    # (each costs 10-40 s of CPU eager dispatch and guards the same interleave
+    # machinery)
+    @pytest.mark.parametrize(
+        "levels",
+        [pytest.param(0, marks=pytest.mark.slow),
+         pytest.param(1, marks=pytest.mark.slow), 2],
+    )
     def test_matches_flax_model(self, levels):
         net = tiny_net()
         cond, x_t, nl = tiny_inputs()
@@ -45,6 +53,7 @@ class TestExactness:
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    atol=5e-5)
 
+    @pytest.mark.slow
     def test_res_blocks_2(self):
         net = tiny_net(res_blocks=2)
         cond, x_t, nl = tiny_inputs()

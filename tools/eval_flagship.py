@@ -62,6 +62,12 @@ def main():
                     help="plain flax engine instead of the packed engine")
     ap.add_argument("--limit", type=int, default=0,
                     help="evaluate only the first N files (0 = all)")
+    ap.add_argument("--ddim", type=float, default=None, nargs="?",
+                    const=0.0, metavar="ETA",
+                    help="DDIM sampler (deterministic at the default eta=0)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="fast sampling: reverse steps over a schedule "
+                    "subsequence (composes with --ddim)")
     ap.add_argument("--f32", action="store_true",
                     help="float32 activations (numerics-ladder probe; "
                     "serving default is bf16)")
@@ -87,6 +93,10 @@ def main():
         engine = PackedUNetModified2(net)
         params = engine.pack(params)
         model = SDDM(sched, engine, p_transition="condition_in")
+    if ns.ddim is not None:
+        model = model.with_ddim(ns.ddim)
+    if ns.steps is not None:
+        model = model.with_sampling_steps(ns.steps)
     infer = jax.jit(model.infer)
 
     dataset = InferDataset(data_root=ns.data, datatype=".wav",

@@ -36,24 +36,37 @@ BATCH = 8
 
 
 def bench(name, model, params, condition, sample_rate, n_audio, t_steps,
-          iters=3):
+          iters=3, peak=197e12):
     key = jax.random.PRNGKey(0)
-    infer = jax.jit(model.infer)
-    infer(params, key, condition).block_until_ready()  # compile + warmup
+    compiled = jax.jit(model.infer).lower(params, key, condition).compile()
+    leaves = jax.tree_util.tree_leaves(compiled(params, key, condition))
+    leaves[0].block_until_ready()  # warmup
 
     start = time.perf_counter()
     for i in range(iters):
-        out = infer(params, jax.random.fold_in(key, i), condition)
-    out.block_until_ready()
+        out = compiled(params, jax.random.fold_in(key, i), condition)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
     elapsed = time.perf_counter() - start
 
     audio_seconds = iters * BATCH * n_audio / sample_rate
     rtf = audio_seconds / elapsed
+    # XLA's flop count for the program -> sustained MFU.  cost_analysis
+    # counts a while-loop body ONCE regardless of trip count (verified in
+    # tools/mfu.py), so the figure is per reverse step; scale by t_steps.
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost["flops"]) * t_steps
+        tflops = flops * iters / elapsed / 1e12
+        mfu = 100.0 * tflops * 1e12 / peak
+    except Exception:
+        tflops, mfu = float("nan"), float("nan")
     print(json.dumps({
         "metric": f"{name}_sampler_rtf_per_chip",
         "value": round(rtf, 3),
         "unit": f"x_realtime (T={t_steps}, batch={BATCH}; "
-                f"{iters * t_steps / elapsed:.1f} reverse steps/s)",
+                f"{iters * t_steps / elapsed:.1f} reverse steps/s; "
+                f"{tflops:.1f} TFLOP/s = {mfu:.1f}% of v5e bf16 peak)",
     }))
     return rtf
 
