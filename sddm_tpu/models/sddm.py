@@ -292,9 +292,11 @@ class SDDM_spectrogram(SDDM):
             params, key, target, self._featurize(condition), deterministic
         )
 
-    def infer(self, params, key, condition, return_trajectory=False):
+    def infer(self, params, key, condition, return_trajectory=False,
+              noise_stream=None):
         return super().infer(
-            params, key, self._featurize(condition), return_trajectory
+            params, key, self._featurize(condition), return_trajectory,
+            noise_stream=noise_stream,
         )
 
     def init(self, key: jax.Array, spec_shape: Tuple[int, ...]):
@@ -330,8 +332,13 @@ class SDDM_spectrogram(SDDM):
         predicted = self._apply(
             params, condition if cond_ctx is None else cond_ctx, x_t, nl,
             True)
-        # spectrogram model always uses the original transition
-        # (model/model.py:239,255)
+        # spectrogram model uses the original transition
+        # (model/model.py:239,255) — or DDIM after with_ddim() (few-step
+        # vocoder serving; pure-noise x_T is the correct DDIM start here)
+        if self.p_transition == "ddim":
+            return tr.p_transition_ddim(
+                sched, x_t, t, predicted, key, noise, eta=self.ddim_eta
+            )
         return tr.p_transition(sched, x_t, t, predicted, key, noise)
 
 

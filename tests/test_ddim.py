@@ -135,3 +135,42 @@ class TestDDIMSampler:
                      q_transition="conditional")
         with pytest.raises(NotImplementedError):
             model.with_ddim()
+
+
+class TestDDIMSpectrogram:
+    def test_vocoder_chain_recovers_x0(self):
+        """SDDM_spectrogram.with_ddim dispatches to the DDIM transition
+        (the vocoder _reverse_step hardcodes the ancestral update
+        otherwise) — the oracle chain from an injected closed-form x_T
+        recovers x0 through the pure-noise start."""
+        from sddm_tpu.models import SDDM_spectrogram
+
+        T, hop, frames = 20, 16, 4
+        sched = DiffusionSchedule.create("linear", T, 1e-6, 1e-2)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x0 = 0.5 * jax.random.uniform(k1, (2, 1, hop * frames),
+                                      minval=-1.0, maxval=1.0)
+        eps = 0.5 * jax.random.uniform(k2, x0.shape, minval=-1.0, maxval=1.0)
+        spec = jnp.zeros((2, 8, frames))
+        model = SDDM_spectrogram(sched, OracleNet(eps), hop_samples=hop)
+        fast = model.with_ddim().with_sampling_steps(5)
+        ab_T = fast.diffusion.alpha_bar[-1]
+        x_T = jnp.sqrt(ab_T) * x0 + jnp.sqrt(1.0 - ab_T) * eps
+        out = fast.infer({}, jax.random.PRNGKey(0), spec,
+                         noise_stream=(x_T, jnp.zeros((5,) + x0.shape)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-5)
+
+    def test_vocoder_ddim_differs_from_ancestral(self):
+        from sddm_tpu.models import SDDM_spectrogram
+
+        T, hop, frames = 20, 16, 4
+        sched = DiffusionSchedule.create("linear", T, 1e-6, 1e-2)
+        eps = 0.3 * jax.random.uniform(jax.random.PRNGKey(2),
+                                       (2, 1, hop * frames),
+                                       minval=-1.0, maxval=1.0)
+        spec = jnp.zeros((2, 8, frames))
+        model = SDDM_spectrogram(sched, OracleNet(eps), hop_samples=hop)
+        a = model.infer({}, jax.random.PRNGKey(0), spec)
+        b = model.with_ddim().infer({}, jax.random.PRNGKey(0), spec)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
