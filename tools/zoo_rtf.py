@@ -9,7 +9,13 @@ DiffWave (configs/config_diffwave.json): T=200, residual_channels=64,
 WaveGrad (configs/config_wavegrad.json): T=1000, fixed 15M topology, hop 300
 mel conditioning — reference model/wavegrad.py.
 
-Usage: python tools/zoo_rtf.py [diffwave] [wavegrad]
+Usage: python tools/zoo_rtf.py [diffwave] [diffwave_fused] [wavegrad]
+                                [--ddim N]
+--ddim N serves every selected model through the DDIM sampler at N
+reverse steps (model.with_ddim().with_sampling_steps(N)) — the few-step
+regime both papers ship (WaveGrad's released schedule is 6 iterations,
+wavegrad.py's Appendix B; DiffWave's "fast" schedule is 6).  RTF rows
+for the shipped ancestral T and for --ddim 6 live in PERFORMANCE.md.
 Prints one JSON line per model: {"metric", "value", "unit"}.
 """
 
@@ -71,7 +77,7 @@ def bench(name, model, params, condition, sample_rate, n_audio, t_steps,
     return rtf
 
 
-def bench_diffwave(fused=False):
+def bench_diffwave(fused=False, ddim=0):
     t_steps, hop, frames, sr = 200, 256, 64, 16000
     sched = DiffusionSchedule.create("linear", t_steps, 1e-4, 0.02)
     net = DiffWave(freq_bins=513, residual_channels=64, residual_layers=30,
@@ -83,29 +89,48 @@ def bench_diffwave(fused=False):
         net_or_engine = net
     model = SDDM_spectrogram(sched, net_or_engine, hop_samples=hop,
                              noise_condition="time_step")
+    if ddim:
+        model = model.with_ddim().with_sampling_steps(ddim)
+        t_steps = ddim
     spec = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 513, frames))
     params = net.init(
         jax.random.PRNGKey(0), jnp.zeros((BATCH, 513, frames)),
         jnp.zeros((BATCH, 1, hop * frames)), jnp.ones((BATCH, 1, 1)))
-    bench("diffwave_fused" if fused else "diffwave", model, params, spec,
-          sr, hop * frames, t_steps)
+    name = "diffwave_fused" if fused else "diffwave"
+    if ddim:
+        name += f"_ddim{ddim}"
+    bench(name, model, params, spec, sr, hop * frames, t_steps)
 
 
-def bench_wavegrad():
+def bench_wavegrad(ddim=0):
     t_steps, hop, frames, sr = 1000, 300, 54, 22050
     sched = DiffusionSchedule.create("linear", t_steps, 1e-6, 0.01)
     net = WaveGrad(dtype=jnp.bfloat16)
     model = SDDM_spectrogram(sched, net, hop_samples=hop)
+    if ddim:
+        model = model.with_ddim().with_sampling_steps(ddim)
+        t_steps = ddim
     mel = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 128, frames))
     params = model.init(jax.random.PRNGKey(0), mel.shape)
-    bench("wavegrad", model, params, mel, sr, hop * frames, t_steps)
+    name = "wavegrad" + (f"_ddim{ddim}" if ddim else "")
+    bench(name, model, params, mel, sr, hop * frames, t_steps)
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["diffwave", "diffwave_fused", "wavegrad"]
+    argv = sys.argv[1:]
+    ddim = 0
+    if "--ddim" in argv:
+        i = argv.index("--ddim")
+        ddim = int(argv[i + 1])
+        del argv[i:i + 2]
+    unknown = [a for a in argv
+               if a not in ("diffwave", "diffwave_fused", "wavegrad")]
+    if unknown:
+        sys.exit(f"unknown selector(s): {unknown}")
+    which = argv or ["diffwave", "diffwave_fused", "wavegrad"]
     if "diffwave" in which:
-        bench_diffwave()
+        bench_diffwave(ddim=ddim)
     if "diffwave_fused" in which:
-        bench_diffwave(fused=True)
+        bench_diffwave(fused=True, ddim=ddim)
     if "wavegrad" in which:
-        bench_wavegrad()
+        bench_wavegrad(ddim=ddim)
