@@ -60,6 +60,21 @@ class Trainer(BaseTrainer):
         cfg_trainer = config["trainer"]
         self.n_valid_data_batch = cfg_trainer.get("n_valid_data_batch", 2)
         self.do_validation = valid_data_loader is not None
+        # opt-in few-step validation: ``"valid_steps": n`` runs the
+        # validation sampler over an n-step schedule subsequence
+        # (models/sddm.py::with_sampling_steps) — ~T/n cheaper per valid
+        # epoch, and on the flagship the few-step sampler tracks serving
+        # quality BETTER than the full T (PERFORMANCE.md round-3 few-step
+        # table).  ``"valid_ddim": true`` composes the DDIM update.
+        # Defaults preserve the reference's full-T validation
+        # (reference trainer.py valid loop).
+        self.valid_model = self.model
+        valid_steps = cfg_trainer.get("valid_steps")
+        if cfg_trainer.get("valid_ddim", False):
+            self.valid_model = self.valid_model.with_ddim()
+        if valid_steps:
+            self.valid_model = self.valid_model.with_sampling_steps(
+                int(valid_steps))
         self.lr_scheduler = lr_scheduler  # constructed-then-unused in the
         # reference too (train.py:55-56); kept for API parity
         self.log_step = cfg_trainer.get("log_step", 100)
@@ -158,7 +173,7 @@ class Trainer(BaseTrainer):
     def _valid_step_impl(self, params, key, target, condition):
         target = self._dequant(target)
         condition = self._dequant(condition)
-        output = self.model.infer(params, key, condition)
+        output = self.valid_model.infer(params, key, condition)
         loss = self.criterion(output, target)
         mets = {
             m.__name__: m(output, target) for m in self.metric_ftns

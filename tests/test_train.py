@@ -151,6 +151,27 @@ class TestTrainer:
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+class TestFewStepValidation:
+    def test_valid_steps_and_ddim(self, data_root, tmp_path):
+        """`trainer.valid_steps` (+`valid_ddim`) validates through the
+        few-step sampler: the valid model carries the subsampled schedule
+        and a full train() produces finite few-step val metrics."""
+        cfg = make_config(tmp_path, valid_steps=2, valid_ddim=True)
+        trainer, config = build_trainer(cfg, data_root)
+        assert trainer.valid_model is not trainer.model
+        assert trainer.valid_model.p_transition == "ddim"
+        # subsampled schedule: T+1 tables shrink to valid_steps+1
+        assert trainer.valid_model.diffusion.alpha_bar.shape[0] == 3
+        trainer.train()
+        log = trainer._valid_epoch(2)
+        assert np.isfinite(log["loss"])
+
+    def test_default_keeps_full_sampler(self, data_root, tmp_path):
+        cfg = make_config(tmp_path, epochs=1, valid_period=100)
+        trainer, _ = build_trainer(cfg, data_root)
+        assert trainer.valid_model is trainer.model
+
+
 class TestSharding:
     def test_batch_sharded_over_8_devices(self, data_root, tmp_path):
         assert jax.device_count() == 8
