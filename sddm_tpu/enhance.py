@@ -184,6 +184,8 @@ def load_enhancer(
     warmup_timeout_s=None,
     packed: bool = True,
     validate_packed: bool = True,
+    steps: int = 0,
+    ddim: bool = False,
 ) -> Enhancer:
     """Build an Enhancer from a run-dir checkpoint + its config dict.
     Enables the persistent compile cache so warmed-up programs survive
@@ -196,7 +198,13 @@ def load_enhancer(
     with the REAL checkpoint weights at the serving shape
     (:meth:`Enhancer.validate`); if the output is non-finite the loader
     logs a warning and serves the plain engine instead (defense in depth
-    after the round-3 GroupNorm cancellation bug, PERFORMANCE.md)."""
+    after the round-3 GroupNorm cancellation bug, PERFORMANCE.md).
+
+    ``steps=n`` serves through an n-step schedule subsequence and
+    ``ddim=True`` through the DDIM update — the few-step serving configs
+    from PERFORMANCE.md's round-3 table (``steps=12`` measured BETTER
+    than the full T on the flagship at ~8x its speed).  Defaults keep
+    the full trained-T ancestral sampler."""
     import logging
 
     enable_compile_cache()
@@ -211,6 +219,14 @@ def load_enhancer(
     diffusion = build_diffusion(cfg)
     network = build_network(cfg, num_samples=config["num_samples"])
     model = build_arch(cfg, diffusion, network)
+
+    def fewstep(m):
+        if ddim:
+            m = m.with_ddim()
+        if steps:
+            m = m.with_sampling_steps(int(steps))
+        return m
+
     init_params = model.init(
         jax.random.PRNGKey(0), (1, 1, config["num_samples"])
     )
@@ -223,7 +239,7 @@ def load_enhancer(
 
         engine = PackedUNetModified2(network)
         packed_params = engine.pack(params)
-        packed_model = build_arch(cfg, diffusion, engine)
+        packed_model = fewstep(build_arch(cfg, diffusion, engine))
         enhancer = Enhancer(
             packed_model, packed_params, config["num_samples"], batch_rows,
             mesh, warmup=warmup, warmup_timeout_s=warmup_timeout_s,
@@ -237,6 +253,6 @@ def load_enhancer(
         )
         model, params = plain
     return Enhancer(
-        model, params, config["num_samples"], batch_rows, mesh,
+        fewstep(model), params, config["num_samples"], batch_rows, mesh,
         warmup=warmup, warmup_timeout_s=warmup_timeout_s,
     )

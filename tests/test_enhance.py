@@ -78,3 +78,57 @@ class TestEnhancer:
              rng.uniform(-0.3, 0.3, 11).astype(np.float32)]
         )
         assert enhancer._infer._cache_size() == sizes0 == 1
+
+
+class TestLoadEnhancer:
+    """load_enhancer: checkpoint -> serving Enhancer (packed canary path,
+    few-step serving options)."""
+
+    @pytest.fixture(scope="class")
+    def run(self, tmp_path_factory):
+        from sddm_tpu.train.checkpoints import save_checkpoint
+
+        cfg = {
+            "num_samples": NS,
+            "sample_rate": 16000,
+            "arch": {"type": "SDDM",
+                     "args": {"p_transition": "condition_in",
+                              "q_transition": "original"}},
+            "diffusion": {"type": "GaussianDiffusion",
+                          "args": {"schedule": "linear", "n_timestep": 4,
+                                   "linear_start": 1e-6, "linear_end": 1e-3}},
+            "network": {"type": "UNetModified2",
+                        "args": {"inner_channel": 8, "norm_groups": 4,
+                                 "channel_mults": [1, 2], "res_blocks": 1,
+                                 "segment_len": 16, "segment_stride": 8}},
+        }
+        sched = DiffusionSchedule.create("linear", 4, 1e-6, 1e-3)
+        net = UNetModified2(num_samples=NS, **{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in cfg["network"]["args"].items()})
+        model = SDDM(sched, net, p_transition="condition_in")
+        params = model.init(jax.random.PRNGKey(0), (1, 1, NS))
+        path = tmp_path_factory.mktemp("ckpt") / "model_best.ckpt"
+        save_checkpoint(path, arch="SDDM", epoch=1, params=params,
+                        opt_state={}, monitor_best=0.0, config=cfg)
+        return path, cfg
+
+    def test_packed_fewstep_serving(self, run):
+        from sddm_tpu.enhance import load_enhancer
+
+        path, cfg = run
+        enh = load_enhancer(path, cfg, batch_rows=4, steps=2, ddim=True)
+        # packed engine + DDIM 2-step schedule actually wired in
+        assert enh.model.p_transition == "ddim"
+        assert enh.model.diffusion.alpha_bar.shape[0] == 3
+        out = enh.enhance(np.random.RandomState(0)
+                          .uniform(-0.3, 0.3, NS + 5).astype(np.float32))
+        assert out.shape == (NS + 5,) and np.isfinite(out).all()
+
+    def test_default_full_sampler(self, run):
+        from sddm_tpu.enhance import load_enhancer
+
+        path, cfg = run
+        enh = load_enhancer(path, cfg, batch_rows=4, packed=False)
+        assert enh.model.p_transition == "condition_in"
+        assert enh.model.diffusion.alpha_bar.shape[0] == 5
