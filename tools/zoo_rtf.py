@@ -12,7 +12,9 @@ mel conditioning — reference model/wavegrad.py.
 Usage: python tools/zoo_rtf.py [diffwave] [diffwave_fused] [wavegrad]
                                 [--ddim N]
 --ddim N serves every selected model through the DDIM sampler at N
-reverse steps (model.with_ddim().with_sampling_steps(N)) — the few-step
+reverse steps (model.with_ddim().with_sampling_steps(N)); --steps N
+subsamples the ancestral schedule instead (composable: --ddim eta-form
+with --steps) — the few-step
 regime both papers ship (WaveGrad's released schedule is 6 iterations,
 wavegrad.py's Appendix B; DiffWave's "fast" schedule is 6).  RTF rows
 for the shipped ancestral T and for --ddim 6 live in PERFORMANCE.md.
@@ -77,7 +79,7 @@ def bench(name, model, params, condition, sample_rate, n_audio, t_steps,
     return rtf
 
 
-def bench_diffwave(fused=False, ddim=0):
+def bench_diffwave(fused=False, ddim=0, steps=0):
     t_steps, hop, frames, sr = 200, 256, 64, 16000
     sched = DiffusionSchedule.create("linear", t_steps, 1e-4, 0.02)
     net = DiffWave(freq_bins=513, residual_channels=64, residual_layers=30,
@@ -90,8 +92,10 @@ def bench_diffwave(fused=False, ddim=0):
     model = SDDM_spectrogram(sched, net_or_engine, hop_samples=hop,
                              noise_condition="time_step")
     if ddim:
-        model = model.with_ddim().with_sampling_steps(ddim)
-        t_steps = ddim
+        model = model.with_ddim()
+    if ddim or steps:
+        t_steps = steps or ddim
+        model = model.with_sampling_steps(t_steps)
     spec = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 513, frames))
     params = net.init(
         jax.random.PRNGKey(0), jnp.zeros((BATCH, 513, frames)),
@@ -99,29 +103,38 @@ def bench_diffwave(fused=False, ddim=0):
     name = "diffwave_fused" if fused else "diffwave"
     if ddim:
         name += f"_ddim{ddim}"
+    elif steps:
+        name += f"_anc{steps}"
     bench(name, model, params, spec, sr, hop * frames, t_steps)
 
 
-def bench_wavegrad(ddim=0):
+def bench_wavegrad(ddim=0, steps=0):
     t_steps, hop, frames, sr = 1000, 300, 54, 22050
     sched = DiffusionSchedule.create("linear", t_steps, 1e-6, 0.01)
     net = WaveGrad(dtype=jnp.bfloat16)
     model = SDDM_spectrogram(sched, net, hop_samples=hop)
     if ddim:
-        model = model.with_ddim().with_sampling_steps(ddim)
-        t_steps = ddim
+        model = model.with_ddim()
+    if ddim or steps:
+        t_steps = steps or ddim
+        model = model.with_sampling_steps(t_steps)
     mel = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, 128, frames))
     params = model.init(jax.random.PRNGKey(0), mel.shape)
-    name = "wavegrad" + (f"_ddim{ddim}" if ddim else "")
+    name = "wavegrad" + (f"_ddim{ddim}" if ddim
+                         else f"_anc{steps}" if steps else "")
     bench(name, model, params, mel, sr, hop * frames, t_steps)
 
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    ddim = 0
+    ddim = steps = 0
     if "--ddim" in argv:
         i = argv.index("--ddim")
         ddim = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--steps" in argv:
+        i = argv.index("--steps")
+        steps = int(argv[i + 1])
         del argv[i:i + 2]
     unknown = [a for a in argv
                if a not in ("diffwave", "diffwave_fused", "wavegrad")]
@@ -129,8 +142,8 @@ if __name__ == "__main__":
         sys.exit(f"unknown selector(s): {unknown}")
     which = argv or ["diffwave", "diffwave_fused", "wavegrad"]
     if "diffwave" in which:
-        bench_diffwave(ddim=ddim)
+        bench_diffwave(ddim=ddim, steps=steps)
     if "diffwave_fused" in which:
-        bench_diffwave(fused=True, ddim=ddim)
+        bench_diffwave(fused=True, ddim=ddim, steps=steps)
     if "wavegrad" in which:
-        bench_wavegrad(ddim=ddim)
+        bench_wavegrad(ddim=ddim, steps=steps)
