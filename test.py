@@ -26,7 +26,7 @@ from sddm_tpu.train.checkpoints import load_checkpoint
 from sddm_tpu.utils import ConfigParser
 
 
-def main(config):
+def main(config, num_steps=None, ddim_eta=None):
     logger = config.get_logger("test")
     sample_rate = config.get("sample_rate", 16000)
     spec_cfg = config.get("spectrogram", {})
@@ -54,6 +54,10 @@ def main(config):
         or spec_cfg.get("hop_samples"),
     )
     model = SDDM_spectrogram(diffusion, network, **arch_args)
+    if ddim_eta is not None:
+        model = model.with_ddim(ddim_eta)
+    if num_steps is not None:
+        model = model.with_sampling_steps(num_steps)
 
     if config.resume is None:
         raise SystemExit("test requires -r/--resume pointing at a checkpoint")
@@ -105,5 +109,13 @@ def main(config):
 
 if __name__ == "__main__":
     args = standard_argparser("Spectrogram model evaluation (TPU)")
+    args.add_argument("--steps", type=int, default=None,
+                      help="fast sampling: reverse steps over a schedule "
+                      "subsequence (vocoder papers ship 6-step schedules)")
+    args.add_argument("--ddim", type=float, default=None, nargs="?",
+                      const=0.0, metavar="ETA",
+                      help="DDIM reverse process (default eta 0.0); "
+                      "composes with --steps")
     config = ConfigParser.from_args(args)
-    main(config)
+    parsed = args.parse_args()
+    main(config, num_steps=parsed.steps, ddim_eta=parsed.ddim)
