@@ -55,3 +55,23 @@ class TestPackedModel:
         ref = np.asarray(jax.jit(base.infer)(params, key, cond))
         got = np.asarray(jax.jit(fast.infer)(pp, key, cond))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_in_fewstep_samplers(self, setup):
+        """Packed == plain through the RECOMMENDED serving configs:
+        subsampled ancestral (--steps) and DDIM — same keys, same
+        schedule subsequence, elementwise-equal outputs."""
+        from sddm_tpu.diffusion import DiffusionSchedule
+        from sddm_tpu.models import SDDM
+
+        net, params, cond, x_t, lvl, _ = setup
+        sched = DiffusionSchedule.create("linear", 6, 1e-6, 1e-3)
+        pp = PackedUNetModified2(net).pack(params)
+        key = jax.random.PRNGKey(11)
+        for mk in (lambda m: m.with_sampling_steps(2),
+                   lambda m: m.with_ddim().with_sampling_steps(2)):
+            base = mk(SDDM(sched, net, p_transition="condition_in"))
+            fast = mk(SDDM(sched, PackedUNetModified2(net),
+                           p_transition="condition_in"))
+            ref = np.asarray(jax.jit(base.infer)(params, key, cond))
+            got = np.asarray(jax.jit(fast.infer)(pp, key, cond))
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
