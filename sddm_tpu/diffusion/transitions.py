@@ -161,6 +161,67 @@ def p_transition_ddim(
     return _clip(x_t_1)
 
 
+def p_transition_ddim_conditional(
+    sched: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    predicted: jnp.ndarray,
+    condition: jnp.ndarray,
+    key: jax.Array,
+    noise: jnp.ndarray | None = None,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """DDIM-style deterministic reverse step for the CONDITIONAL
+    (CDiffuSE-style) diffusion — TPU-era extension; neither the reference
+    nor the CDiffuSE paper defines a few-step conditional sampler.
+
+    The conditional forward (q_stochastic_conditional, reference
+    model/diffusion.py:253-279) trains the network on the COMBINED noise
+    c with   x_t = sqrt(ab_t) x0 + sqrt(1-ab_t) c,   so the DDIM
+    x0-closure survives verbatim:
+
+      x0_hat  = (x_t - sqrt(1-ab_t) c_hat) / sqrt(ab_t)
+      eps_hat = (sqrt(1-ab_t) c_hat - m_t sqrt(ab_t) (y - x0_hat))
+                / sqrt(delta_t)                  (the Gaussian component)
+      x_{t-1} = (1-m_{t-1}) sqrt(ab_{t-1}) x0_hat
+                + m_{t-1} sqrt(ab_{t-1}) y
+                + sqrt(delta_{t-1} - sigma^2) eps_hat + sigma z,
+      sigma   = eta sqrt(delta_estimated_t)   (the ancestral conditional
+                posterior std, so eta=1 recovers its variance; eta=0 is
+                the deterministic ODE-like step).
+
+    Index-0 pads make t=1 exact: ab_0=1, m_0=0, delta_0=0 collapse the
+    update to x_0 = x0_hat with the direction and noise terms at exactly
+    zero (eps_hat stays finite via the delta_t floor).  Under a perfect
+    predictor the whole chain is an identity on x0 — asserted by the
+    oracle-chain test (tests/test_ddim.py).  Composes with
+    ``subsample_schedule`` (m and delta are functions of alpha_bar alone,
+    so subsampled tables equal the original tables at the kept steps)."""
+    ab_t = sched.alpha_bar[t]
+    sab_t = sched.sqrt_alpha_bar[t]
+    sab_p = sched.sqrt_alpha_bar[t - 1]
+    m_t = sched.m[t]
+    m_p = sched.m[t - 1]
+    sd_t = sched.sqrt_delta[t]
+    sd_p = sched.sqrt_delta[t - 1]
+
+    c_scaled = jnp.sqrt(1.0 - ab_t) * predicted
+    x0_hat = (x_t - c_scaled) / sab_t
+    eps_hat = (c_scaled - m_t * sab_t * (condition - x0_hat)) / jnp.maximum(
+        sd_t, jnp.asarray(1e-12, x_t.dtype)
+    )
+    sigma = eta * sched.sqrt_delta_estimated[t]
+    dir_coeff = jnp.sqrt(jnp.maximum(jnp.square(sd_p) - jnp.square(sigma),
+                                     0.0))
+    x_t_1 = ((1.0 - m_p) * sab_p * x0_hat + m_p * sab_p * condition
+             + dir_coeff * eps_hat)
+    if eta != 0.0:
+        if noise is None:
+            noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+        x_t_1 = x_t_1 + _noise_gate(t, x_t.dtype) * sigma * noise
+    return _clip(x_t_1)
+
+
 # --------------------------------------------------------------------------
 # Forward (q) transitions — training-time noising.
 # --------------------------------------------------------------------------

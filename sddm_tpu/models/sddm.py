@@ -75,17 +75,18 @@ class SDDM:
         eps-predictor.  Initialization keeps the noised-condition start
         (``get_x_T``) so it is the fast drop-in for the flagship
         ``condition_in`` recipe; compose with ``with_sampling_steps`` for
-        few-step enhancement.  Requires the unconditional q process (the
-        conditional CDiffuSE target regresses a combined noise for which
-        the DDIM x0-estimate does not hold)."""
-        if self.q_transition != "original":
-            raise NotImplementedError(
-                "DDIM requires q_transition='original'"
-            )
+        few-step enhancement.  With the CONDITIONAL q process
+        (CDiffuSE-style combined-noise target) the reverse step is the
+        conditional DDIM generalization
+        (transitions.py::p_transition_ddim_conditional) and the chain
+        keeps the conditional x_T prior."""
         import copy
 
         new = copy.copy(self)
-        new.p_transition = "ddim"
+        new.p_transition = (
+            "ddim_conditional" if self.q_transition == "conditional"
+            else "ddim"
+        )
         new.ddim_eta = float(eta)
         return new
 
@@ -155,7 +156,7 @@ class SDDM:
 
     # -- sampler init (reference model/model.py:57-68) ---------------------
     def _x_T(self, key: jax.Array, condition: jnp.ndarray, noise=None) -> jnp.ndarray:
-        if self.p_transition == "conditional":
+        if self.p_transition in ("conditional", "ddim_conditional"):
             return tr.get_x_T_conditional(self.diffusion, condition, key, noise)
         if self.p_transition in ("condition_in", "ddim"):
             return tr.get_x_T(self.diffusion, condition, key, noise)
@@ -191,6 +192,11 @@ class SDDM:
         if self.p_transition == "ddim":
             return tr.p_transition_ddim(
                 sched, x_t, t, predicted, key, noise, eta=self.ddim_eta
+            )
+        if self.p_transition == "ddim_conditional":
+            return tr.p_transition_ddim_conditional(
+                sched, x_t, t, predicted, condition, key, noise,
+                eta=self.ddim_eta,
             )
         if self.p_transition == "supportive":
             return tr.p_transition_supportive(

@@ -129,12 +129,84 @@ class TestDDIMSampler:
         assert fast.p_transition == "ddim" and fast.ddim_eta == 0.3
         assert base.p_transition == "condition_in"  # original untouched
 
-    def test_with_ddim_rejects_conditional_q(self):
+    def test_with_ddim_conditional_q_uses_conditional_update(self):
         sched, x0, eps = _setup()
         model = SDDM(sched, OracleNet(eps), p_transition="conditional",
                      q_transition="conditional")
-        with pytest.raises(NotImplementedError):
-            model.with_ddim()
+        fast = model.with_ddim()
+        assert fast.p_transition == "ddim_conditional"
+
+
+class OracleCondNet:
+    """Oracle for the CONDITIONAL q: returns the exact combined noise
+    c = (x_t - sqrt(ab_t) x0) / sqrt(1 - ab_t) implied by the trajectory
+    (noise_level IS sqrt(ab_t) in the conditional sampler)."""
+
+    def __init__(self, x0):
+        self.x0 = x0
+
+    def init(self, key, *a, **k):
+        return {}
+
+    def apply(self, params, condition, x_t, noise_level, **kw):
+        nl = noise_level.astype(x_t.dtype)
+        return (x_t - nl * self.x0.astype(x_t.dtype)) / jnp.sqrt(
+            jnp.maximum(1.0 - jnp.square(nl), 1e-12))
+
+
+class TestDDIMConditional:
+    def test_t1_returns_x0_exactly(self):
+        """m_0 = 0, delta_0 = 0, ab_0 = 1 collapse the final conditional
+        DDIM step to x0_hat with zero direction/noise terms."""
+        sched, x0, eps = _setup()
+        y = 0.4 * jax.random.uniform(jax.random.PRNGKey(5), x0.shape,
+                                     minval=-1.0, maxval=1.0)
+        ab1, m1 = sched.alpha_bar[1], sched.m[1]
+        x1 = (jnp.sqrt(ab1) * x0 + m1 * jnp.sqrt(ab1) * (y - x0)
+              + sched.sqrt_delta[1] * eps)
+        c = (x1 - jnp.sqrt(ab1) * x0) / jnp.sqrt(1.0 - ab1)
+        out = tr.p_transition_ddim_conditional(
+            sched, x1, jnp.asarray(1), c, y, jax.random.PRNGKey(3), eta=1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-5)
+
+    def test_oracle_chain_recovers_x0(self):
+        """Full conditional DDIM chain with the oracle combined-noise
+        predictor is an identity on x0 (the x0-closure holds at every
+        step; t=1 emits x0_hat exactly)."""
+        sched, x0, _ = _setup()
+        y = 0.4 * jax.random.uniform(jax.random.PRNGKey(5), x0.shape,
+                                     minval=-1.0, maxval=1.0)
+        model = SDDM(sched, OracleCondNet(x0), p_transition="conditional",
+                     q_transition="conditional").with_ddim()
+        out = model.infer({}, jax.random.PRNGKey(0), y)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-4)
+
+    def test_oracle_chain_fewstep(self):
+        """Composes with with_sampling_steps (subsampled m/delta tables
+        equal the original tables at the kept steps)."""
+        sched, x0, _ = _setup()
+        y = 0.4 * jax.random.uniform(jax.random.PRNGKey(5), x0.shape,
+                                     minval=-1.0, maxval=1.0)
+        model = SDDM(sched, OracleCondNet(x0), p_transition="conditional",
+                     q_transition="conditional").with_ddim()
+        out = model.with_sampling_steps(4).infer({}, jax.random.PRNGKey(0), y)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-4)
+
+    def test_eta1_differs_from_eta0(self):
+        # constant predictor (NOT the closure oracle, whose x0_hat is
+        # x_t-independent): injected noise must propagate to the output
+        sched, x0, eps = _setup()
+        y = 0.4 * jax.random.uniform(jax.random.PRNGKey(5), x0.shape,
+                                     minval=-1.0, maxval=1.0)
+        mk = lambda eta: SDDM(  # noqa: E731
+            sched, OracleNet(0.3 * eps), p_transition="conditional",
+            q_transition="conditional").with_ddim(eta)
+        a = mk(0.0).infer({}, jax.random.PRNGKey(0), y)
+        b = mk(1.0).infer({}, jax.random.PRNGKey(0), y)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
 class TestDDIMSpectrogram:
