@@ -89,6 +89,38 @@ def _conv(x, w, b=None, strides=(1, 1), padding="SAME"):
     return y
 
 
+# Tap-stacked head conv (round 3, A/B candidate): the final conv's packed
+# kernel is [3, 3, 4C, 4] — a lane-DEGENERATE output (4 of 128 lanes), which
+# XLA runs as a [Npix, 9·4C] x [9·4C, 4] matmul at ~3% MXU width utilization
+# (~101 us of the 1612 us sampler step).  Restructure: one matmul with the
+# 9 taps stacked on the OUTPUT axis ([Npix, 4C] x [4C, 9·4] — 9x wider N for
+# the same FLOPs) followed by a 9-term shifted sum (cheap: the per-tap
+# activations are only 4 channels wide).  Same math to f32 accumulation
+# order.  SDDM_TAPSTACK_HEAD=1 enables for the on-chip A/B.
+_TAPSTACK_HEAD = _os.environ.get("SDDM_TAPSTACK_HEAD", "0") != "0"
+
+
+def _conv_tapstack(x, w, b=None):
+    """SAME-padding stride-1 cross-correlation with the spatial taps stacked
+    on the matmul's output axis — for lane-degenerate out_channels."""
+    kh, kw, cin, cout = w.shape
+    # [kh,kw,cin,cout] -> [cin, kh*kw*cout]: contraction on cin only
+    wm = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, kh * kw * cout)
+    y = x @ wm.astype(x.dtype)                     # [B,H,W,kh*kw*cout]
+    ph, pw = kh // 2, kw // 2
+    yp = jnp.pad(y, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            t = dy * kw + dx
+            sl = yp[:, dy:dy + H, dx:dx + W, t * cout:(t + 1) * cout]
+            out = sl if out is None else out + sl
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
 def _sections_perm(sections: Tuple[int, ...]) -> np.ndarray:
     """Input-channel axis reorder folding packed-concat layout into a kernel:
     w_cat[:, :, perm_src, :] = w_packedcat.  (See ops/packed.pack_input_map:
@@ -581,7 +613,8 @@ class PackedUNetModified2:
 
         e = pp["Block_0"]
         out = jax.nn.silu(e["gn"](h)).astype(h.dtype)
-        out = _conv(out, e["conv"]["kernel"], e["conv"]["bias"])
+        head = _conv_tapstack if _TAPSTACK_HEAD else _conv
+        out = head(out, e["conv"]["kernel"], e["conv"]["bias"])
         if lp(0):
             out = d2s(out)
         out = jnp.moveaxis(out, -1, 1).astype(in_dtype)

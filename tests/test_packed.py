@@ -286,3 +286,50 @@ class TestBf16NumericsParity:
         # parity within reassociation noise; the pre-fix extra-cast bug
         # showed up as a ~15% systematic excess at flagship scale
         assert e_packed <= 1.3 * e_plain + 1e-6, (e_packed, e_plain)
+
+
+class TestTapstackHead:
+    """Tap-stacked head conv (models/unet_packed.py::_conv_tapstack): the
+    lane-degenerate final conv re-expressed as one 9x-wider matmul + a
+    shifted 9-term sum — must reproduce the SAME-padding conv elementwise."""
+
+    @pytest.mark.parametrize("shape", [
+        (3, 3, 128, 4),   # packed flagship head
+        (3, 3, 32, 1),    # unpacked head
+        (1, 1, 64, 4),
+        (5, 3, 16, 2),
+    ])
+    def test_matches_conv(self, rng, shape):
+        from sddm_tpu.models.unet_packed import _conv, _conv_tapstack
+        kh, kw, ci, co = shape
+        x = jnp.asarray(rng.randn(2, 9, 11, ci).astype(np.float32))
+        w = jnp.asarray(rng.randn(kh, kw, ci, co).astype(np.float32))
+        b = jnp.asarray(rng.randn(co).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(_conv_tapstack(x, w, b)),
+            np.asarray(_conv(x, w, b)), rtol=2e-4, atol=5e-5)
+
+    def test_engine_exact_under_flag(self, rng, monkeypatch):
+        """Full packed forward with SDDM_TAPSTACK_HEAD on == flag off."""
+        from sddm_tpu.models import unet_packed
+        from sddm_tpu.models.unet_packed import PackedUNetModified2
+        from sddm_tpu.models.unet_modified2 import UNetModified2
+
+        ns = 72  # 8 frames of 16 @ stride 8
+        net = UNetModified2(num_samples=ns, inner_channel=8, norm_groups=4,
+                            channel_mults=(1, 2, 3), res_blocks=1,
+                            segment_len=16, segment_stride=8,
+                            dtype=jnp.float32)
+        rs = np.random.RandomState(1)
+        cond = jnp.asarray(rs.uniform(-0.5, 0.5, (2, 1, ns)).astype(np.float32))
+        x_t = jnp.asarray(rs.uniform(-0.5, 0.5, (2, 1, ns)).astype(np.float32))
+        lvl = jnp.full((2, 1, 1), 0.7, jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), cond, x_t, lvl)
+        eng = PackedUNetModified2(net)
+        packed = eng.pack(params)
+
+        monkeypatch.setattr(unet_packed, "_TAPSTACK_HEAD", False)
+        ref = np.asarray(eng.apply(packed, cond, x_t, lvl))
+        monkeypatch.setattr(unet_packed, "_TAPSTACK_HEAD", True)
+        got = np.asarray(eng.apply(packed, cond, x_t, lvl))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
