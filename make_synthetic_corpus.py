@@ -18,13 +18,17 @@ def main():
     ap.add_argument("--n-train", type=int, default=2000)
     ap.add_argument("--n-test", type=int, default=200)
     ap.add_argument("--seed", type=int, default=2026)
+    ap.add_argument("--version", type=int, default=2, choices=(1, 2),
+                    help="2 (default): STOI-meaningful speech-shaped v2; "
+                    "1: the round-1..3 corpus")
     args = ap.parse_args()
 
     generate_corpus(os.path.join(args.root, "train"), args.n_train,
-                    seed=args.seed, split="train")
+                    seed=args.seed, split="train", version=args.version)
     generate_corpus(os.path.join(args.root, "test"), args.n_test,
-                    seed=args.seed + 1, split="test")
-    print(f"corpus at {args.root}: {args.n_train} train / {args.n_test} test")
+                    seed=args.seed + 1, split="test", version=args.version)
+    print(f"corpus at {args.root}: {args.n_train} train / {args.n_test} test"
+          f" (v{args.version})")
 
 
 if __name__ == "__main__":

@@ -87,6 +87,11 @@ def main():
     ap.add_argument("--valid-period", type=int, default=5)
     ap.add_argument("--data", default="data/synth")
     ap.add_argument("--out", default="/tmp/ref_traj.json")
+    ap.add_argument("--ckpt-dir", default="",
+                    help="if set, save state_dict checkpoints here "
+                    "(last.pth each validation, best.pth on min val_loss) "
+                    "so the converged reference model can be evaluated on "
+                    "the full test set")
     args = ap.parse_args()
 
     torch.manual_seed(0)
@@ -115,6 +120,9 @@ def main():
     n = len(tr_clean)
     steps_per_epoch = n // BATCH
     traj = []
+    best_val = float("inf")
+    if args.ckpt_dir:
+        os.makedirs(args.ckpt_dir, exist_ok=True)
     for epoch in range(1, args.epochs + 1):
         model.train()
         perm = rng.permutation(n)
@@ -144,6 +152,14 @@ def main():
                 rec["val_sisnr"] = sisnr(out, vt.numpy()[:, 0, :])
                 rec["noisy_sisnr"] = sisnr(vc.numpy()[:, 0, :],
                                            vt.numpy()[:, 0, :])
+            if args.ckpt_dir:
+                payload = {"epoch": epoch, "state_dict": model.state_dict(),
+                           "val_loss": rec["val_loss"]}
+                torch.save(payload, os.path.join(args.ckpt_dir, "last.pth"))
+                if rec["val_loss"] < best_val:
+                    best_val = rec["val_loss"]
+                    torch.save(payload,
+                               os.path.join(args.ckpt_dir, "best.pth"))
         traj.append(rec)
         print(json.dumps(rec), flush=True)
         json.dump(traj, open(args.out, "w"), indent=1)
