@@ -94,19 +94,27 @@ def _conv(x, w, b=None, strides=(1, 1), padding="SAME"):
 # XLA runs as a [Npix, 9·4C] x [9·4C, 4] matmul at ~3% MXU width utilization
 # (~101 us of the 1612 us sampler step).  Restructure: one matmul with the
 # 9 taps stacked on the OUTPUT axis ([Npix, 4C] x [4C, 9·4] — 9x wider N for
-# the same FLOPs) followed by a 9-term shifted sum (cheap: the per-tap
-# activations are only 4 channels wide).  Same math to f32 accumulation
-# order.  SDDM_TAPSTACK_HEAD=1 enables for the on-chip A/B.
+# the same FLOPs) followed by a 9-term shifted sum.  The matmul and the
+# shifted sum both accumulate in f32 (preferred_element_type) with ONE
+# final cast to x.dtype, matching _conv's single-rounding bf16 semantics —
+# the round-3 forensics (see TestBf16NumericsParity history below) showed
+# one extra bf16 rounding per site measurably degrades sampler quality.
+# SDDM_TAPSTACK_HEAD=1 enables for the on-chip A/B.
 _TAPSTACK_HEAD = _os.environ.get("SDDM_TAPSTACK_HEAD", "0") != "0"
 
 
 def _conv_tapstack(x, w, b=None):
     """SAME-padding stride-1 cross-correlation with the spatial taps stacked
-    on the matmul's output axis — for lane-degenerate out_channels."""
+    on the matmul's output axis — for lane-degenerate out_channels.
+
+    Odd kernel sizes only: symmetric pad (k//2, k//2) matches XLA SAME
+    padding only when k is odd (XLA pads lo=(k-1)//2, hi=k//2)."""
     kh, kw, cin, cout = w.shape
+    assert kh % 2 == 1 and kw % 2 == 1, "tapstack head requires odd kernels"
     # [kh,kw,cin,cout] -> [cin, kh*kw*cout]: contraction on cin only
     wm = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, kh * kw * cout)
-    y = x @ wm.astype(x.dtype)                     # [B,H,W,kh*kw*cout]
+    y = jnp.matmul(x, wm.astype(x.dtype),
+                   preferred_element_type=jnp.float32)  # [B,H,W,kh*kw*cout]
     ph, pw = kh // 2, kw // 2
     yp = jnp.pad(y, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
     B, H, W = x.shape[0], x.shape[1], x.shape[2]
@@ -117,8 +125,8 @@ def _conv_tapstack(x, w, b=None):
             sl = yp[:, dy:dy + H, dx:dx + W, t * cout:(t + 1) * cout]
             out = sl if out is None else out + sl
     if b is not None:
-        out = out + b.astype(x.dtype)
-    return out
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _sections_perm(sections: Tuple[int, ...]) -> np.ndarray:

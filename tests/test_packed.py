@@ -309,6 +309,21 @@ class TestTapstackHead:
             np.asarray(_conv_tapstack(x, w, b)),
             np.asarray(_conv(x, w, b)), rtol=2e-4, atol=5e-5)
 
+    def test_bf16_single_rounding(self, rng):
+        """bf16 serving dtype: the tap matmul + shifted sum accumulate in
+        f32 with ONE final cast (advisor r3) — so tapstack stays within
+        one bf16 ulp of _conv's single-rounding result instead of
+        compounding 9 per-tap roundings."""
+        from sddm_tpu.models.unet_packed import _conv, _conv_tapstack
+        x = jnp.asarray(rng.randn(2, 9, 11, 128), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, 128, 4), jnp.bfloat16)
+        b = jnp.asarray(rng.randn(4), jnp.bfloat16)
+        got = np.asarray(_conv_tapstack(x, w, b), np.float32)
+        want = np.asarray(_conv(x, w, b), np.float32)
+        assert got.dtype == want.dtype
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2 * 0.0079 * scale)
+
     def test_engine_exact_under_flag(self, rng, monkeypatch):
         """Full packed forward with SDDM_TAPSTACK_HEAD on == flag off."""
         from sddm_tpu.models import unet_packed
