@@ -33,6 +33,49 @@ from .base_trainer import BaseTrainer
 from .state import TrainState
 
 
+def _dequant(x):
+    """int16 PCM batches (RAM-cached loader) -> float32 on device.
+
+    /32768 matches wav_io.load_wav exactly, so cached-int16 training is
+    bit-identical to the float32 path while moving 4x fewer bytes per
+    step over the host->device tunnel. dtype is static at trace time."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) / 32768.0
+    return x
+
+
+def make_train_step(model, criterion, tx):
+    """The PRODUCTION train step as a pure function of
+    ``(state, key, target, condition) -> (state, loss)``: dequant, the
+    model's q-sample + denoiser forward, the criterion, and the optimizer
+    update — exactly what ``Trainer`` jits each step.
+
+    Factored to module level so ``__graft_entry__.dryrun_multichip`` and
+    tests/test_train.py::TestSharding certify the SHIPPED code path rather
+    than an inline reimplementation (round-3 verdict item 6)."""
+
+    def train_step(state, key, target, condition):
+        target = _dequant(target)
+        condition = _dequant(condition)
+
+        def loss_fn(params):
+            predicted, noise = model.forward(
+                params, key, target, condition, deterministic=False
+            )
+            return criterion(predicted, noise)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params,
+                       opt_state=opt_state),
+            loss,
+        )
+
+    return train_step
+
+
 class Trainer(BaseTrainer):
     def __init__(
         self,
@@ -135,44 +178,22 @@ class Trainer(BaseTrainer):
             () if getattr(self.model.network, "prepare", None) is not None
             else (0,)
         )
+        self._train_step_impl = make_train_step(
+            self.model, self.criterion, self.tx
+        )
         self._train_step = jax.jit(
             self._train_step_impl, donate_argnums=donate
         )
         self._valid_step = jax.jit(self._valid_step_impl)
 
     # ---- jitted steps -----------------------------------------------------
-    @staticmethod
-    def _dequant(x):
-        """int16 PCM batches (RAM-cached loader) -> float32 on device.
-
-        /32768 matches wav_io.load_wav exactly, so cached-int16 training is
-        bit-identical to the float32 path while moving 4x fewer bytes per
-        step over the host->device tunnel. dtype is static at trace time."""
-        if x.dtype == jnp.int16:
-            return x.astype(jnp.float32) / 32768.0
-        return x
-
-    def _train_step_impl(self, state, key, target, condition):
-        target = self._dequant(target)
-        condition = self._dequant(condition)
-
-        def loss_fn(params):
-            predicted, noise = self.model.forward(
-                params, key, target, condition, deterministic=False
-            )
-            return self.criterion(predicted, noise)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            loss,
-        )
+    # the train step is the module-level make_train_step (shared with the
+    # multichip dryrun + sharding tests); kept as _train_step_impl attribute
+    _dequant = staticmethod(_dequant)
 
     def _valid_step_impl(self, params, key, target, condition):
-        target = self._dequant(target)
-        condition = self._dequant(condition)
+        target = _dequant(target)
+        condition = _dequant(condition)
         output = self.valid_model.infer(params, key, condition)
         loss = self.criterion(output, target)
         mets = {
