@@ -114,12 +114,17 @@ class BaseDataLoader:
 
         if self.num_workers > 1:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                # pipeline: submit up to 2 batches ahead of consumption
+                # pipeline: submit up to 2 batches ahead of consumption.
+                # Each fetch decodes its batch's items serially INSIDE one
+                # worker (batch-level parallelism): nesting pool.map inside
+                # a pool worker deadlocks when num_workers <= the number of
+                # outstanding fetches (both workers blocked on inner tasks
+                # that can never be scheduled — hit with num_workers=2).
                 futures = []
                 ahead = 2
 
                 def fetch(batch_idx):
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    items = [self.dataset[i] for i in batch_idx]
                     return self.collate_fn(items)
 
                 for b in batches[:ahead]:

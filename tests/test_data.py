@@ -113,6 +113,22 @@ class TestLoaders:
             np.testing.assert_array_equal(t1, t2)
             np.testing.assert_array_equal(i1, i2)
 
+    def test_two_workers_no_deadlock(self, wav_root):
+        """Regression: num_workers=2 used to deadlock — both pool workers
+        were occupied by batch-fetch bodies whose nested pool.map item tasks
+        could then never be scheduled (hit by every shipped config with
+        num_workers: 2)."""
+        import threading
+
+        ds = AudioDataset(wav_root, ".wav", sample_rate=16000, T=1024)
+        dl = AudioDataLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+        out = []
+        t = threading.Thread(target=lambda: out.extend(dl), daemon=True)
+        t.start()
+        t.join(timeout=60)
+        assert not t.is_alive(), "threaded loader deadlocked"
+        assert len(out) == len(dl)
+
 
 class TestWaveGradLoader:
     def test_crop_alignment(self, wav_root, tmp_path_factory):
