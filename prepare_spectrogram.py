@@ -49,6 +49,9 @@ def main(path, config):
 
 
 if __name__ == "__main__":
+    from sddm_tpu.cli import setup_platform
+
+    setup_platform()  # honor SDDM_PLATFORM like every other CLI
     parser = argparse.ArgumentParser(description="Precompute spectrograms")
     parser.add_argument("path", type=str, help="data path")
     parser.add_argument("-c", "--config", required=True, type=str)

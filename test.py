@@ -29,11 +29,21 @@ from sddm_tpu.utils import ConfigParser
 def main(config, num_steps=None, ddim_eta=None):
     logger = config.get_logger("test")
     sample_rate = config.get("sample_rate", 16000)
+    num_samples = config.get("num_samples", -1)
     spec_cfg = config.get("spectrogram", {})
 
-    test_dataset = build_dataset(config, "test_dataset")
+    # on-device feature mode mirrors train_specmodel.py: datasets stream RAW
+    # paired wav crops and the conditioning spectrogram is computed inside
+    # the jitted sampler (ops/spectrogram.make_feature_fn)
+    on_device = bool(spec_cfg.get("on_device")) or (
+        config["test_dataset"]["type"] == "AudioDataset"
+    )
+    ds_extra = (
+        {"sample_rate": sample_rate, "T": num_samples} if on_device else {}
+    )
+    test_dataset = build_dataset(config, "test_dataset", **ds_extra)
     test_loader = build_data_loader(config, "test_data_loader", test_dataset)
-    logger.info("Finished initializing datasets")
+    logger.info("Finished initializing datasets (on_device=%s)", on_device)
 
     diffusion = build_diffusion(config)
     net_cfg = config["network"]
@@ -53,6 +63,17 @@ def main(config, num_steps=None, ddim_eta=None):
         config["test_data_loader"]["args"].get("hop_samples")
         or spec_cfg.get("hop_samples"),
     )
+    if on_device:
+        from sddm_tpu.ops.spectrogram import make_feature_fn
+
+        kind = "mel" if "mel" in str(spec_cfg.get("kind", "spec")) else "spec"
+        arch_args["feature_fn"] = make_feature_fn(
+            kind,
+            spec_cfg["window_length"],
+            arch_args["hop_samples"],
+            n_mels=config.get("mel_spectrogram", {}).get("n_mels"),
+            sample_rate=sample_rate,
+        )
     model = SDDM_spectrogram(diffusion, network, **arch_args)
     if ddim_eta is not None:
         model = model.with_ddim(ddim_eta)
