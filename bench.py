@@ -10,6 +10,12 @@ sampler.  The reference publishes no RTF; the driver's north star is >=10x
 the reference's real-time factor per chip.  We report vs_baseline against
 real-time (RTF 1.0) so the number is self-grounding: value is how many times
 faster than real time one chip enhances audio.
+
+A second JSON line reports ``train_step_ms`` — the PRODUCTION train step
+(sddm_tpu.train.trainer.make_train_step: q-sample + forward + L1 + Adam
+update, donated state) at the flagship recipe's batch 16, vs_baseline
+against the round-1..3 plain-engine 29.1 ms (PERFORMANCE.md).
+``--skip-train`` omits it; the headline RTF line always prints first.
 """
 
 import json
@@ -63,6 +69,10 @@ def main():
         "ancestral for round-over-round comparability; --ddim 6 is the "
         "recommended serving config — 446x RTF at better-than-100-step "
         "measured quality, see PERFORMANCE.md)",
+    )
+    ap.add_argument(
+        "--skip-train", action="store_true",
+        help="omit the train_step_ms metric (sampler RTF only)",
     )
     ns = ap.parse_args()
     BATCH = ns.batch
@@ -147,7 +157,58 @@ def main():
                 f"{steps_per_sec:.1f} reverse steps/s)",
                 "vs_baseline": round(rtf, 3),
             }
-        )
+        ),
+        flush=True,
+    )
+
+    if not ns.skip_train:
+        bench_train_step(sched, net, key)
+
+
+def bench_train_step(sched, net, key):
+    """Time the production train step (plain engine — packed training is
+    disabled on this runtime, artifacts/nan_repro/) at the flagship batch."""
+    import optax
+
+    from sddm_tpu.models.losses import l1_loss
+    from sddm_tpu.train.state import TrainState
+    from sddm_tpu.train.trainer import make_train_step
+
+    train_batch = 16  # config_unet.json data_loader batch_size
+    model = SDDM(sched, net, p_transition="condition_in")
+    params = model.init(key, (train_batch, 1, NUM_SAMPLES))
+    tx = optax.amsgrad(2e-3)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, l1_loss, tx), donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(7)
+    target = 0.1 * jax.random.normal(rng, (train_batch, 1, NUM_SAMPLES))
+    condition = target + 0.02 * jax.random.normal(
+        jax.random.fold_in(rng, 1), (train_batch, 1, NUM_SAMPLES)
+    )
+    state, loss = step(state, key, target, condition)  # compile + warmup
+    jax.block_until_ready(loss)
+
+    n_iters = 20
+    start = time.perf_counter()
+    for i in range(n_iters):
+        state, loss = step(state, jax.random.fold_in(key, i), target,
+                           condition)
+    jax.block_until_ready(loss)
+    ms = (time.perf_counter() - start) / n_iters * 1e3
+
+    baseline_ms = 29.1  # round-1..3 plain-engine step (PERFORMANCE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_ms",
+                "value": round(ms, 2),
+                "unit": f"ms/step (batch={train_batch}, plain engine, "
+                f"{train_batch * 1e3 / ms:.0f} crops/s; lower is better)",
+                "vs_baseline": round(baseline_ms / ms, 3),
+            }
+        ),
+        flush=True,
     )
 
 
