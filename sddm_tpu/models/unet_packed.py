@@ -32,6 +32,9 @@ import jax.numpy as jnp
 from ..ops.framing import frame_signal, overlap_add
 from ..ops.packed import (
     offset_mask,
+    onehot_take,
+    onehot_unperm_axis2,
+    pack_kernel_blocks,
     pack_kernel_s1,
     pack_kernel_s1_from_offset,
     pack_kernel_s1_to_offset,
@@ -317,6 +320,31 @@ class _TracedKit:
         return jnp.take(w, np.argsort(perm), axis=2)
 
 
+class _BlockKit(_TracedKit):
+    """Gather-FREE in-jit packing: kernel transforms assembled from static
+    slices + concatenations (ops/packed.py::pack_kernel_blocks), vector /
+    channel reorders as exact one-hot contractions.  Zero gather/scatter
+    ops in the packing graph — the round-4 A/B for the axon PJRT
+    packed-training miscompute, whose suspected trigger is in-graph
+    flat-index weight gathers reading donated buffers
+    (artifacts/nan_repro/).  Select with SDDM_PACK_IMPL=blocks."""
+
+    s1 = staticmethod(lambda w: pack_kernel_blocks("s1", w))
+    s1to = staticmethod(lambda w: pack_kernel_blocks("s1to", w))
+    s1from = staticmethod(lambda w: pack_kernel_blocks("s1from", w))
+    s2u = staticmethod(lambda w: pack_kernel_blocks("s2u", w))
+    s2p = staticmethod(lambda w: pack_kernel_blocks("s2p", w))
+    up = staticmethod(lambda w: pack_kernel_blocks("up", w))
+
+    @staticmethod
+    def take(x, idx):
+        return onehot_take(x, idx)
+
+    @staticmethod
+    def unperm(w, perm):
+        return onehot_unperm_axis2(w, perm)
+
+
 class PackedUNetModified2:
     """Drop-in inference twin of a :class:`UNetModified2` instance.
 
@@ -350,8 +378,17 @@ class PackedUNetModified2:
         return self._pack_with(_HostKit, params)
 
     def pack_traced(self, params) -> Dict:
-        """Differentiable packing for the training path (runs under jit)."""
-        return self._pack_with(_TracedKit, params)
+        """Differentiable packing for the training path (runs under jit).
+
+        SDDM_PACK_IMPL selects the implementation: "gather" (default,
+        jnp.take index maps) or "blocks" (gather-free slice+concat —
+        the axon PJRT miscompute A/B, see _BlockKit)."""
+        impl = _os.environ.get("SDDM_PACK_IMPL", "gather")
+        if impl not in ("gather", "blocks"):
+            raise ValueError(f"SDDM_PACK_IMPL must be gather|blocks: {impl}")
+        return self._pack_with(
+            _BlockKit if impl == "blocks" else _TracedKit, params
+        )
 
     def _pack_with(self, kit, params) -> Dict:
         p = params["params"] if "params" in params else params

@@ -322,6 +322,105 @@ def pack_kernel_traced(kind: str, w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+# ---- gather-free (slice + concat) kernel packing ----------------------------
+#
+# pack_kernel_traced expresses the transforms as flat-index weight GATHERS
+# (jnp.take).  In-graph gathers reading donated parameter buffers are the
+# suspected trigger of the axon PJRT packed-training miscompute
+# (artifacts/nan_repro/), so this second traced implementation builds the
+# SAME packed kernels with zero gather/scatter ops: each [Ci, Co] block of
+# the packed kernel is a static slice of ``w`` (or a sum of a few), and the
+# blocks are assembled with jnp.concatenate.  The per-block source taps are
+# probe-derived from the numpy builders at ci = co = 1 (every builder writes
+# whole blocks, uniformly over channels), so the two traced paths and the
+# host path can never drift.
+
+_BUILDERS = {
+    "s1": pack_kernel_s1,
+    "s1to": pack_kernel_s1_to_offset,
+    "s1from": pack_kernel_s1_from_offset,
+    "s2u": pack_kernel_s2_unpacked_out,
+    "s2p": pack_kernel_s2_packed_out,
+    "up": pack_kernel_upsample,
+}
+
+
+def _block_plan(kind: str, kh: int, kw: int):
+    """Per packed-kernel block (e, f, pi, po): the list of source taps
+    (flattened dh*kw+dw) whose [Ci, Co] slices SUM to that block."""
+    builder = _BUILDERS[kind]
+    plans = None
+    shape = None
+    for t in range(kh * kw):
+        w = np.zeros((kh, kw, 1, 1))
+        w[t // kw, t % kw, 0, 0] = 1.0
+        out = builder(w)
+        if plans is None:
+            shape = out.shape  # (E, F, NPI, NPO) at ci = co = 1
+            plans = np.zeros(shape + (kh * kw,), np.int64)
+        counts = np.rint(out).astype(np.int64)
+        assert np.allclose(out, counts), "non-integer block coefficient"
+        plans[..., t] = counts
+    return plans, shape
+
+
+_BLOCK_PLANS: dict = {}
+
+
+def pack_kernel_blocks(kind: str, w: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free traced equivalent of :func:`pack_kernel_traced`: the
+    packed kernel assembled purely from static slices of ``w``, adds, and
+    concatenations (verified identical in tests/test_packed.py)."""
+    kh, kw, ci, co = (int(s) for s in w.shape)
+    key = (kind, kh, kw)
+    if key not in _BLOCK_PLANS:
+        _BLOCK_PLANS[key] = _block_plan(kind, kh, kw)
+    plans, (E, F, NPI, NPO) = _BLOCK_PLANS[key]
+    zero = jnp.zeros((ci, co), w.dtype)
+    efs = []
+    for e in range(E):
+        for f in range(F):
+            rows = []
+            for pi in range(NPI):
+                blocks = []
+                for po in range(NPO):
+                    acc = None
+                    for t in range(kh * kw):
+                        n = int(plans[e, f, pi, po, t])
+                        if n == 0:
+                            continue
+                        term = w[t // kw, t % kw]
+                        if n > 1:
+                            term = term * n
+                        acc = term if acc is None else acc + term
+                    blocks.append(zero if acc is None else acc)
+                rows.append(
+                    jnp.concatenate(blocks, axis=1) if NPO > 1 else blocks[0]
+                )
+            efs.append(
+                jnp.concatenate(rows, axis=0) if NPI > 1 else rows[0]
+            )
+    return jnp.stack(efs, 0).reshape(E, F, NPI * ci, NPO * co)
+
+
+def onehot_take(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
+    """Gather-free ``x[idx]`` for 1-D x with a static index vector: a {0,1}
+    matmul (exact — exactly one nonzero per output row)."""
+    sel = np.zeros((len(idx), int(x.shape[0])), np.float32)
+    sel[np.arange(len(idx)), np.asarray(idx)] = 1.0
+    return jnp.asarray(sel, x.dtype) @ x
+
+
+def onehot_unperm_axis2(w: jnp.ndarray, perm: np.ndarray) -> jnp.ndarray:
+    """Gather-free equivalent of ``jnp.take(w, argsort(perm), axis=2)`` for
+    kernels [kh, kw, C, Co]: a one-hot contraction over the input-channel
+    axis."""
+    inv = np.argsort(np.asarray(perm))
+    sel = np.zeros((len(inv), int(w.shape[2])), np.float32)
+    sel[np.arange(len(inv)), inv] = 1.0
+    return jnp.einsum("ji,hwio->hwjo", jnp.asarray(sel, w.dtype), w)
+
+
 def pack_input_map(sections) -> np.ndarray:
     """Channel permutation mapping concat(packed(x1), packed(x2), ...) to
     packed(concat(x1, x2, ...)).
