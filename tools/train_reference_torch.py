@@ -42,7 +42,8 @@ T_STEPS = 100
 
 def load_dir(root, limit=None):
     clean_dir = os.path.join(root, "clean")
-    names = sorted(os.listdir(clean_dir))[:limit]
+    names = sorted(n for n in os.listdir(clean_dir)
+                   if n.endswith(".wav"))[:limit]
     clean, noisy = [], []
     for n in names:
         c, _sr = load_wav(os.path.join(root, "clean", n))
