@@ -48,7 +48,9 @@ class TestKernelVsReference:
         pytest.param(10, 11, marks=_slow),
     ])
     def test_interpret_matches_reference(self, cycle, L):
-        args = _stack_args(2, 256, 8, L, jax.random.PRNGKey(L))
+        # T=128 keeps the fast-tier (5,7) case ~2x cheaper while still
+        # wrapping the dilation cycle (max dilation 2^6 = 64 < 128)
+        args = _stack_args(2, 128, 8, L, jax.random.PRNGKey(L))
         want = diffwave_stack_reference(*args, cycle=cycle)
         got = diffwave_stack(*args, cycle=cycle, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -148,6 +150,7 @@ class TestFusedEngine:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow  # compiles two full T-step samplers (~35 s CPU)
     def test_full_sampler_matches_plain(self):
         net, sched, model, spec, params, _, _, hop = self._setup()
         eng = FusedDiffWave(net, use_kernel=False)

@@ -324,6 +324,7 @@ class TestTapstackHead:
         scale = np.abs(want).max()
         np.testing.assert_allclose(got, want, atol=2 * 0.0079 * scale)
 
+    @pytest.mark.slow  # compiles two full packed engines (~90 s CPU)
     def test_engine_exact_under_flag(self, rng, monkeypatch):
         """Full packed forward with SDDM_TAPSTACK_HEAD on == flag off."""
         from sddm_tpu.models import unet_packed
