@@ -107,12 +107,14 @@ class SNREstimatorTrainer(BaseTrainer):
     def _train_epoch(self, epoch: int) -> dict:
         self.epoch_start = time.time()
         self.train_metrics.reset()
+        step_losses = []  # device scalars; ONE host sync at epoch end
         for batch_idx, (target, condition, _idx) in enumerate(self.data_loader):
             batch = shard_batch(
                 (jnp.asarray(target), jnp.asarray(condition)), self.mesh
             )
             self.key, step_key = jax.random.split(self.key)
             self.state, loss = self._train_step(self.state, step_key, *batch)
+            step_losses.append(loss)
             if batch_idx > 0 and batch_idx % self.log_step == 0:
                 loss_val = float(loss)
                 self.writer.set_step((epoch - 1) * self.len_epoch + batch_idx)
@@ -124,6 +126,9 @@ class SNREstimatorTrainer(BaseTrainer):
             if batch_idx == self.len_epoch:
                 break
         log = self.train_metrics.result()
+        # epoch loss averages EVERY step like the reference (see Trainer)
+        if step_losses:
+            log["loss"] = float(np.mean([float(x) for x in step_losses]))
         if self.do_validation and (epoch % self.valid_period == 0):
             val_log = self._valid_epoch(epoch)
             log.update(**{"val_" + k: v for k, v in val_log.items()})

@@ -213,6 +213,7 @@ class Trainer(BaseTrainer):
         profile_armed = bool(profile_dir) and epoch == self.start_epoch
         trace_on = False
 
+        step_losses = []  # device scalars; ONE host sync at epoch end
         for batch_idx, (target, condition, _idx) in enumerate(self.data_loader):
             if profile_armed and batch_idx == 2:
                 jax.profiler.start_trace(profile_dir)
@@ -226,6 +227,7 @@ class Trainer(BaseTrainer):
             )
             self.key, step_key = jax.random.split(self.key)
             self.state, loss = self._train_step(self.state, step_key, *batch)
+            step_losses.append(loss)
 
             if batch_idx > 0 and batch_idx % self.log_step == 0:
                 loss_val = float(loss)
@@ -242,6 +244,13 @@ class Trainer(BaseTrainer):
         if trace_on:
             jax.profiler.stop_trace()
         log = self.train_metrics.result()
+        # the reference's epoch loss averages EVERY step (trainer.py:69-81);
+        # the log_step-gated tracker above only feeds the TB writer.  With
+        # log_step > steps-per-epoch the tracker saw nothing and reported
+        # 0.0 — average the accumulated device scalars instead (they have
+        # long since resolved; float() here costs one tiny D2H each).
+        if step_losses:
+            log["loss"] = float(np.mean([float(x) for x in step_losses]))
 
         if self.do_validation and (epoch % self.valid_period == 0):
             val_log = self._valid_epoch(epoch)

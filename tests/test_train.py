@@ -117,6 +117,16 @@ class TestTrainer:
         snap = json.loads((config.save_dir / "config.json").read_text())
         assert snap["name"] == "test_run"
 
+    def test_epoch_loss_averages_every_step(self, data_root, tmp_path):
+        """Regression: with log_step > steps-per-epoch the tracker saw no
+        updates and the epoch loss reported 0.0 (hit by the round-4 synth
+        runs); the epoch average must cover every step like the reference
+        (trainer/trainer.py:69-81)."""
+        cfg = make_config(tmp_path, log_step=10_000, valid_period=100)
+        trainer, _ = build_trainer(cfg, data_root, run_id="ls")
+        log = trainer._train_epoch(1)
+        assert log["loss"] > 0.0
+
     def test_resume(self, data_root, tmp_path):
         cfg = make_config(tmp_path)
         trainer, config = build_trainer(cfg, data_root, run_id="a")
