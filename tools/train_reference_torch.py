@@ -93,6 +93,15 @@ def main():
                     "(last.pth each validation, best.pth on min val_loss) "
                     "so the converged reference model can be evaluated on "
                     "the full test set")
+    ap.add_argument("--resume", default="",
+                    help="path to a last.pth saved by this script: restarts "
+                    "from its epoch+1 with its weights (and optimizer state "
+                    "when present — older checkpoints lack it, in which case "
+                    "Adam moments restart and the loss shows a brief "
+                    "transient).  The data-order RNG is reseeded with the "
+                    "start epoch, so shuffles/crops after a resume differ "
+                    "from an uninterrupted run; training dynamics are "
+                    "otherwise the reference's own.")
     args = ap.parse_args()
 
     torch.manual_seed(0)
@@ -117,14 +126,33 @@ def main():
                                   args.n_train)
     va_clean, va_noisy = load_dir(os.path.join(args.data, "test"), args.n_val)
 
-    rng = np.random.RandomState(0)
-    n = len(tr_clean)
-    steps_per_epoch = n // BATCH
+    start_epoch = 1
     traj = []
     best_val = float("inf")
+    if args.resume:
+        payload = torch.load(args.resume, map_location=device)
+        model.load_state_dict(payload["state_dict"])
+        if "optimizer" in payload:
+            opt.load_state_dict(payload["optimizer"])
+        start_epoch = payload["epoch"] + 1
+        best_val = payload.get("best_val", float("inf"))
+        if os.path.exists(args.out):
+            traj = [r for r in json.load(open(args.out))
+                    if r["epoch"] <= payload["epoch"]]
+            vals = [r["val_loss"] for r in traj if "val_loss" in r]
+            if vals:
+                best_val = min(best_val, min(vals))
+        print(json.dumps({"resumed_from": args.resume,
+                          "start_epoch": start_epoch,
+                          "has_optimizer": "optimizer" in payload,
+                          "best_val": best_val}), flush=True)
+
+    rng = np.random.RandomState(start_epoch - 1)
+    n = len(tr_clean)
+    steps_per_epoch = n // BATCH
     if args.ckpt_dir:
         os.makedirs(args.ckpt_dir, exist_ok=True)
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(start_epoch, args.epochs + 1):
         model.train()
         perm = rng.permutation(n)
         ep_loss = 0.0
@@ -154,13 +182,17 @@ def main():
                 rec["noisy_sisnr"] = sisnr(vc.numpy()[:, 0, :],
                                            vt.numpy()[:, 0, :])
             if args.ckpt_dir:
-                payload = {"epoch": epoch, "state_dict": model.state_dict(),
-                           "val_loss": rec["val_loss"]}
-                torch.save(payload, os.path.join(args.ckpt_dir, "last.pth"))
                 if rec["val_loss"] < best_val:
                     best_val = rec["val_loss"]
-                    torch.save(payload,
+                    torch.save({"epoch": epoch,
+                                "state_dict": model.state_dict(),
+                                "val_loss": rec["val_loss"]},
                                os.path.join(args.ckpt_dir, "best.pth"))
+                payload = {"epoch": epoch, "state_dict": model.state_dict(),
+                           "optimizer": opt.state_dict(),
+                           "val_loss": rec["val_loss"],
+                           "best_val": best_val}
+                torch.save(payload, os.path.join(args.ckpt_dir, "last.pth"))
         traj.append(rec)
         print(json.dumps(rec), flush=True)
         json.dump(traj, open(args.out, "w"), indent=1)
