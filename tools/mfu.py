@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--peak", type=float, default=197e12,
                     help="chip peak FLOP/s for the %%-of-peak figure "
                     "(default: v5e bf16)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the PRODUCTION train step "
+                    "(make_train_step at the flagship batch 16, plain "
+                    "engine) instead of the sampler — VERDICT r3 item 4a")
     ns = ap.parse_args()
 
     sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
@@ -50,6 +54,8 @@ def main():
     )
     key = jax.random.PRNGKey(0)
     base = SDDM(sched, net, p_transition="condition_in")
+    if ns.train:
+        return mfu_train(sched, net, base, key, ns)
     params = base.init(key, (ns.batch, 1, NUM_SAMPLES))
     if ns.engine == "packed":
         from sddm_tpu.models.unet_packed import PackedUNetModified2
@@ -92,6 +98,58 @@ def main():
         "rtf": round(
             ns.batch * NUM_SAMPLES / SAMPLE_RATE / per_call, 2
         ),
+    }))
+
+
+def mfu_train(sched, net, base, key, ns):
+    """MFU of the production train step at the flagship recipe (batch 16,
+    plain engine — packed training is runtime-disabled, artifacts/nan_repro/).
+    No while loop in the step, so cost_analysis()["flops"] is per call."""
+    import optax
+
+    from sddm_tpu.models.losses import l1_loss
+    from sddm_tpu.train.state import TrainState
+    from sddm_tpu.train.trainer import make_train_step
+
+    batch = ns.batch
+    params = base.init(key, (batch, 1, NUM_SAMPLES))
+    tx = optax.amsgrad(2e-3)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(base, l1_loss, tx), donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(7)
+    target = 0.1 * jax.random.normal(rng, (batch, 1, NUM_SAMPLES))
+    condition = target + 0.02 * jax.random.normal(
+        jax.random.fold_in(rng, 1), (batch, 1, NUM_SAMPLES)
+    )
+    lowered = step.lower(state, key, target, condition)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", float("nan")))
+    bytes_accessed = float(cost.get("bytes accessed", float("nan")))
+
+    state, loss = compiled(state, key, target, condition)
+    jax.block_until_ready(loss)
+    iters = 20
+    start = time.perf_counter()
+    for i in range(iters):
+        state, loss = compiled(state, jax.random.fold_in(key, i), target,
+                               condition)
+    jax.block_until_ready(loss)
+    per_call = (time.perf_counter() - start) / iters
+
+    tflops = flops / per_call / 1e12
+    print(json.dumps({
+        "mode": "train_step",
+        "batch": batch,
+        "step_ms": round(per_call * 1e3, 2),
+        "flops_per_call": flops,
+        "hbm_bytes_per_call": bytes_accessed,
+        "hbm_gbps": round(bytes_accessed / per_call / 1e9, 1),
+        "sustained_tflops": round(tflops, 2),
+        "pct_of_peak": round(100 * tflops * 1e12 / ns.peak, 1),
+        "crops_per_sec": round(batch / per_call, 1),
     }))
 
 
