@@ -15,7 +15,11 @@ from numbers import Number
 import numpy as np
 
 from ..utils.tb_writer import TensorboardWriter
-from .checkpoints import load_checkpoint, save_rotating_checkpoint
+from .checkpoints import (
+    load_checkpoint,
+    save_best_checkpoint,
+    save_rotating_checkpoint,
+)
 from .state import TrainState
 
 
@@ -84,6 +88,19 @@ class BaseTrainer(abc.ABC):
                         self.mnt_best = log[self.mnt_metric]
                         not_improved_count = 0
                         best = True
+                        # Persist the best weights the moment the monitor
+                        # improves.  The reference template
+                        # (base/base_trainer.py:96-97) only writes
+                        # model_best inside the ``epoch % save_period``
+                        # gate, so an improvement at a validation epoch
+                        # that is not a save-period multiple updates
+                        # mnt_best but silently drops the weights — the
+                        # "best" checkpoint on disk can be arbitrarily
+                        # stale (observed: best val_loss at epoch 275,
+                        # newest model_best from epoch 150).  Deliberate
+                        # divergence: best saves are decoupled from the
+                        # rotation period.
+                        self._save_best(epoch)
                     else:
                         not_improved_count += 1
                 if not_improved_count > self.early_stop:
@@ -95,7 +112,8 @@ class BaseTrainer(abc.ABC):
                     break
 
             if epoch % self.save_period == 0:
-                self._save_checkpoint(epoch, save_best=best)
+                # best already persisted at improvement time above
+                self._save_checkpoint(epoch, save_best=False)
 
     def _save_checkpoint(self, epoch: int, save_best: bool = False) -> None:
         save_rotating_checkpoint(
@@ -107,6 +125,18 @@ class BaseTrainer(abc.ABC):
             monitor_best=self.mnt_best,
             config=dict(self.config.config),
             save_best=save_best,
+        )
+
+    def _save_best(self, epoch: int) -> None:
+        """Write model_best.ckpt immediately (no current/last rotation)."""
+        save_best_checkpoint(
+            self.checkpoint_dir,
+            arch=type(self.model).__name__,
+            epoch=epoch,
+            params=self.state.params,
+            opt_state=self.state.opt_state,
+            monitor_best=self.mnt_best,
+            config=dict(self.config.config),
         )
 
     def _maybe_resume(self) -> None:

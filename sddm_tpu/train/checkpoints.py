@@ -87,6 +87,32 @@ def save_rotating_checkpoint(
         logger.info("Saved checkpoint epoch %d as %s", epoch, CKPT_BEST)
 
 
+def save_best_checkpoint(
+    checkpoint_dir,
+    *,
+    arch: str,
+    epoch: int,
+    params: Any,
+    opt_state: Any,
+    monitor_best: float,
+    config: Optional[dict] = None,
+) -> None:
+    """Write model_best.ckpt only, without touching current/last.
+
+    Used by BaseTrainer at monitor-improvement time so the best weights
+    are never lost to the save-period gate (the reference template's
+    base/base_trainer.py:96-97 only writes model_best when
+    ``epoch % save_period == 0``)."""
+    checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    save_checkpoint(
+        checkpoint_dir / CKPT_BEST,
+        arch=arch, epoch=epoch, params=params, opt_state=opt_state,
+        monitor_best=monitor_best, config=config,
+    )
+    logger.info("Saved checkpoint epoch %d as %s", epoch, CKPT_BEST)
+
+
 def load_checkpoint(
     path,
     params_template: Optional[Any] = None,

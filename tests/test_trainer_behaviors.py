@@ -86,6 +86,22 @@ class TestMonitorLoop:
         assert load_checkpoint(cfg.save_dir / CKPT_CURRENT)["epoch"] == 4
         assert load_checkpoint(cfg.save_dir / CKPT_LAST)["epoch"] == 2
 
+    def test_best_saved_off_period(self, tmp_path):
+        """An improvement at an epoch that is NOT a save-period multiple
+        must still persist model_best (the reference template only writes
+        best inside the ``epoch % save_period`` gate and silently drops
+        those weights — base/base_trainer.py:96-97)."""
+        cfg = make_config(tmp_path, save_period=2, run_id="bo", epochs=4)
+        # best val_loss lands at epoch 3 (off-period); epoch 4 regresses
+        t = _StubTrainer(cfg, [4.0, 3.0, 1.0, 2.0])
+        t.train()
+        best = load_checkpoint(cfg.save_dir / CKPT_BEST)
+        assert best["epoch"] == 3
+        assert best["monitor_best"] == 1.0
+        # rotation untouched by the best-only write
+        assert load_checkpoint(cfg.save_dir / CKPT_CURRENT)["epoch"] == 4
+        assert load_checkpoint(cfg.save_dir / CKPT_LAST)["epoch"] == 2
+
 
 class TestRotation:
     def test_current_renamed_to_last(self, tmp_path):
