@@ -73,16 +73,35 @@ def main():
                     "serving default is bf16)")
     ns = ap.parse_args()
 
-    sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
+    # Build diffusion + network from the run dir's config.json when present
+    # (any UNetModified2 recipe — e.g. the head-to-head small leg); fall
+    # back to the flagship recipe for bare checkpoints.
+    run_cfg = os.path.join(os.path.dirname(os.path.abspath(ns.resume)),
+                           "config.json")
+    net_args = dict(inner_channel=32, norm_groups=32,
+                    channel_mults=(1, 2, 3, 4, 5), res_blocks=1,
+                    segment_len=128, segment_stride=64)
+    diff_args = dict(schedule="linear", n_timestep=T_STEPS,
+                     linear_start=1e-6, linear_end=1e-3)
+    num_samples = NUM_SAMPLES
+    if os.path.exists(run_cfg):
+        cfg = json.load(open(run_cfg))
+        assert cfg["network"]["type"] == "UNetModified2", cfg["network"]
+        net_args.update(cfg["network"]["args"])
+        diff_args.update(cfg["diffusion"]["args"])
+        num_samples = cfg.get("num_samples", NUM_SAMPLES)
+        logger.info("model/schedule from %s", run_cfg)
+
+    d = dict(diff_args)
+    sched = DiffusionSchedule.create(
+        d.pop("schedule"), d.pop("n_timestep"),
+        d.pop("linear_start"), d.pop("linear_end"), **d)
     net = UNetModified2(
-        num_samples=NUM_SAMPLES, inner_channel=32, norm_groups=32,
-        channel_mults=(1, 2, 3, 4, 5), res_blocks=1,
-        segment_len=128, segment_stride=64,
-        dtype=jnp.float32 if ns.f32 else jnp.bfloat16,
-    )
+        num_samples=num_samples,
+        dtype=jnp.float32 if ns.f32 else jnp.bfloat16, **net_args)
     base = SDDM(sched, net, p_transition="condition_in")
     key = jax.random.PRNGKey(0)
-    init_params = base.init(key, (1, 1, NUM_SAMPLES))
+    init_params = base.init(key, (1, 1, num_samples))
     ckpt = load_checkpoint(ns.resume, params_template=init_params)
     params = ckpt["params"]
     if ns.base:
@@ -100,7 +119,7 @@ def main():
     infer = jax.jit(model.infer)
 
     dataset = InferDataset(data_root=ns.data, datatype=".wav",
-                           sample_rate=SAMPLE_RATE, T=NUM_SAMPLES)
+                           sample_rate=SAMPLE_RATE, T=num_samples)
     n_files = len(dataset.inventory)
     if ns.limit:
         n_files = min(n_files, ns.limit)

@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--out", default="saved/ref_eval")
     ap.add_argument("--batch-rows", type=int, default=8)
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--resume-dir", default=None,
+                    help="existing run dir (the one containing samples/) — "
+                         "files already present in samples/output are "
+                         "skipped, new outputs land in the same dir")
     args = ap.parse_args()
 
     torch.manual_seed(0)
@@ -73,11 +77,20 @@ def main():
     if args.limit:
         names = names[: args.limit]
 
-    out_root = os.path.join(args.out, time.strftime("%m%d_%H%M%S"), "samples")
+    if args.resume_dir:
+        out_root = os.path.join(args.resume_dir, "samples")
+    else:
+        out_root = os.path.join(args.out, time.strftime("%m%d_%H%M%S"),
+                                "samples")
     paths = {k: os.path.join(out_root, k)
              for k in ("target", "output", "condition")}
     for p in paths.values():
         os.makedirs(p, exist_ok=True)
+    already = set(os.listdir(paths["output"]))
+    if already:
+        names = [n for n in names if n not in already]
+        print(f"resume: {len(already)} files present, "
+              f"{len(names)} remaining", flush=True)
 
     # flatten all files' chunk rows into one stream; fixed batches
     def rows():
