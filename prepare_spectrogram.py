@@ -11,6 +11,7 @@ on-device input pipeline, making this offline pass optional.
 """
 
 import argparse
+import os
 from glob import glob
 
 import jax
@@ -22,7 +23,7 @@ from sddm_tpu.ops.spectrogram import log_compress, mel_spectrogram, stft_magnitu
 from sddm_tpu.utils import read_json
 
 
-def main(path, config):
+def main(path, config, resume=False):
     window_length = config["spectrogram"]["window_length"]
     hop_samples = config["spectrogram"]["hop_samples"]
     n_mels = config["mel_spectrogram"]["n_mels"]
@@ -39,6 +40,10 @@ def main(path, config):
 
     filenames = glob(f"{path}/**/*.wav", recursive=True)
     for i, filename in enumerate(filenames):
+        if resume and os.path.exists(f"{filename}.mel.npy") and os.path.exists(
+            f"{filename}.spec.npy"
+        ):
+            continue
         audio, sr = load_wav(filename)
         assert sr == sample_rate, f"{filename}: {sr} != {sample_rate}"
         a = jnp.asarray(audio)
@@ -46,6 +51,24 @@ def main(path, config):
         np.save(f"{filename}.spec.npy", np.squeeze(np.asarray(spec_fn(a))))
         if (i + 1) % 100 == 0:
             print(f"processed {i + 1}/{len(filenames)}")
+        if (i + 1) % 200 == 0:
+            # Variable-length corpora trace one program per unique length;
+            # unbounded, the CPU client's LLVM JIT arena eventually fails
+            # allocation.  Dropping the caches bounds it (re-jit is cheap
+            # relative to one file's IO).
+            jax.clear_caches()
+            spec_fn = jax.jit(
+                lambda a: log_compress(
+                    stft_magnitude(a, window_length, hop_samples)
+                )
+            )
+            mel_fn = jax.jit(
+                lambda a: log_compress(
+                    mel_spectrogram(
+                        a, window_length, hop_samples, n_mels, sample_rate
+                    )
+                )
+            )
 
 
 if __name__ == "__main__":
@@ -55,5 +78,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Precompute spectrograms")
     parser.add_argument("path", type=str, help="data path")
     parser.add_argument("-c", "--config", required=True, type=str)
+    parser.add_argument("--resume", action="store_true",
+                        help="skip files that already have .spec/.mel outputs")
     args = parser.parse_args()
-    main(args.path, read_json(args.config))
+    main(args.path, read_json(args.config), resume=args.resume)
