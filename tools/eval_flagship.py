@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--f32", action="store_true",
                     help="float32 activations (numerics-ladder probe; "
                     "serving default is bf16)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="sampler noise-stream seed (vary to measure "
+                    "the stochastic sampler's quality spread)")
     ns = ap.parse_args()
 
     # Build diffusion + network from the run dir's config.json when present
@@ -117,6 +120,7 @@ def main():
     if ns.steps is not None:
         model = model.with_sampling_steps(ns.steps)
     infer = jax.jit(model.infer)
+    key = jax.random.PRNGKey(ns.seed)
 
     dataset = InferDataset(data_root=ns.data, datatype=".wav",
                            sample_rate=SAMPLE_RATE, T=num_samples)
