@@ -23,21 +23,35 @@ from sddm_tpu.ops.spectrogram import log_compress, mel_spectrogram, stft_magnitu
 from sddm_tpu.utils import read_json
 
 
+BUCKET = 8192  # pre-padded lengths round up to this; ~6 programs per corpus
+
+
 def main(path, config, resume=False):
     window_length = config["spectrogram"]["window_length"]
     hop_samples = config["spectrogram"]["hop_samples"]
     n_mels = config["mel_spectrogram"]["n_mels"]
     sample_rate = config["sample_rate"]
 
+    # The reflect (center) padding happens HOST-side so variable-length
+    # audio can be zero-padded up to a shared bucket length: frame k reads
+    # samples [k*hop, k*hop + n_fft) of the pre-padded array, so trimming
+    # the output to the true frame count is elementwise-exact — the zero
+    # tail only feeds frames we discard.  One compile per bucket instead of
+    # one per unique file length (a 2-4 s corpus previously traced ~2
+    # programs per FILE; the CPU client's LLVM JIT dominated wall time).
     spec_fn = jax.jit(
-        lambda a: log_compress(stft_magnitude(a, window_length, hop_samples))
+        lambda a: log_compress(
+            stft_magnitude(a, window_length, hop_samples, center=False)
+        )
     )
     mel_fn = jax.jit(
         lambda a: log_compress(
-            mel_spectrogram(a, window_length, hop_samples, n_mels, sample_rate)
+            mel_spectrogram(a, window_length, hop_samples, n_mels,
+                            sample_rate, center=False)
         )
     )
 
+    pad = window_length // 2
     filenames = glob(f"{path}/**/*.wav", recursive=True)
     for i, filename in enumerate(filenames):
         if resume and os.path.exists(f"{filename}.mel.npy") and os.path.exists(
@@ -46,29 +60,17 @@ def main(path, config, resume=False):
             continue
         audio, sr = load_wav(filename)
         assert sr == sample_rate, f"{filename}: {sr} != {sample_rate}"
-        a = jnp.asarray(audio)
-        np.save(f"{filename}.mel.npy", np.squeeze(np.asarray(mel_fn(a))))
-        np.save(f"{filename}.spec.npy", np.squeeze(np.asarray(spec_fn(a))))
+        a = np.asarray(audio, np.float32).reshape(-1)
+        n_frames = 1 + (a.shape[0] + 2 * pad - window_length) // hop_samples
+        a = np.pad(a, (pad, pad), mode="reflect")
+        bucket = -(-a.shape[0] // BUCKET) * BUCKET
+        a = jnp.asarray(np.pad(a, (0, bucket - a.shape[0])))
+        mel = np.asarray(mel_fn(a))[..., :n_frames]
+        spec = np.asarray(spec_fn(a))[..., :n_frames]
+        np.save(f"{filename}.mel.npy", np.squeeze(mel))
+        np.save(f"{filename}.spec.npy", np.squeeze(spec))
         if (i + 1) % 100 == 0:
-            print(f"processed {i + 1}/{len(filenames)}")
-        if (i + 1) % 200 == 0:
-            # Variable-length corpora trace one program per unique length;
-            # unbounded, the CPU client's LLVM JIT arena eventually fails
-            # allocation.  Dropping the caches bounds it (re-jit is cheap
-            # relative to one file's IO).
-            jax.clear_caches()
-            spec_fn = jax.jit(
-                lambda a: log_compress(
-                    stft_magnitude(a, window_length, hop_samples)
-                )
-            )
-            mel_fn = jax.jit(
-                lambda a: log_compress(
-                    mel_spectrogram(
-                        a, window_length, hop_samples, n_mels, sample_rate
-                    )
-                )
-            )
+            print(f"processed {i + 1}/{len(filenames)}", flush=True)
 
 
 if __name__ == "__main__":

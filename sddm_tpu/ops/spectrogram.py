@@ -21,11 +21,21 @@ def hamming_window(n: int, periodic: bool = True) -> np.ndarray:
     return 0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(n) / m)
 
 
-def _frame_for_stft(audio: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """Center-pad (reflect) then frame; drops any tail remainder like torch.stft."""
-    pad = n_fft // 2
-    padding = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
-    x = jnp.pad(audio, padding, mode="reflect")
+def _frame_for_stft(
+    audio: jnp.ndarray, n_fft: int, hop: int, center: bool = True
+) -> jnp.ndarray:
+    """Center-pad (reflect) then frame; drops any tail remainder like torch.stft.
+
+    ``center=False`` frames the input as-is — for callers that have already
+    applied the reflect padding host-side (prepare_spectrogram.py buckets
+    pre-padded lengths so variable-length corpora share compiled programs).
+    """
+    if center:
+        pad = n_fft // 2
+        padding = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(audio, padding, mode="reflect")
+    else:
+        x = audio
     n = x.shape[-1]
     n_frames = 1 + (n - n_fft) // hop
     # static-index gather (shapes are static under jit)
@@ -39,6 +49,7 @@ def stft_magnitude(
     n_fft: int,
     hop_samples: int,
     normalized: bool = True,
+    center: bool = True,
 ) -> jnp.ndarray:
     """|STFT| with periodic Hamming window; returns ``[..., freq, time]``.
 
@@ -46,7 +57,7 @@ def stft_magnitude(
     prepare_spectrogram.py:20-25.
     """
     window = hamming_window(n_fft)
-    frames = _frame_for_stft(audio, n_fft, hop_samples) * jnp.asarray(
+    frames = _frame_for_stft(audio, n_fft, hop_samples, center) * jnp.asarray(
         window, audio.dtype
     )
     spec = jnp.abs(jnp.fft.rfft(frames, axis=-1))  # [..., time, freq]
@@ -91,9 +102,11 @@ def mel_spectrogram(
     sample_rate: int,
     f_min: float = 20.0,
     f_max: float | None = None,
+    center: bool = True,
 ) -> jnp.ndarray:
     """Mel-scale |STFT| ``[..., n_mels, time]`` (prepare_spectrogram.py:27-35)."""
-    spec = stft_magnitude(audio, n_fft, hop_samples)  # [..., freq, time]
+    spec = stft_magnitude(audio, n_fft, hop_samples,
+                          center=center)  # [..., freq, time]
     fb = jnp.asarray(
         mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate, f_min, f_max),
         spec.dtype,
