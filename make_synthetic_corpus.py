@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--version", type=int, default=2, choices=(1, 2),
                     help="2 (default): STOI-meaningful speech-shaped v2; "
                     "1: the round-1..3 corpus")
+    ap.add_argument("--subset-first", type=int, default=0, metavar="N",
+                    help="also create <root>/trainN/ symlinking the first N "
+                    "sorted train files — the fixed head-to-head training "
+                    "subset (both legs read the same sorted-name prefix, "
+                    "tools/train_reference_torch.py --n-train N)")
     args = ap.parse_args()
 
     generate_corpus(os.path.join(args.root, "train"), args.n_train,
@@ -29,6 +34,19 @@ def main():
                     seed=args.seed + 1, split="test", version=args.version)
     print(f"corpus at {args.root}: {args.n_train} train / {args.n_test} test"
           f" (v{args.version})")
+
+    if args.subset_first:
+        src = os.path.join(args.root, "train")
+        dst = os.path.join(args.root, f"train{args.subset_first}")
+        names = sorted(n for n in os.listdir(os.path.join(src, "clean"))
+                       if n.endswith(".wav"))[: args.subset_first]
+        for side in ("clean", "noisy"):
+            os.makedirs(os.path.join(dst, side), exist_ok=True)
+            for n in names:
+                p = os.path.join(dst, side, n)
+                if not os.path.exists(p):
+                    os.symlink(os.path.abspath(os.path.join(src, side, n)), p)
+        print(f"subset at {dst}: first {len(names)} sorted train files")
 
 
 if __name__ == "__main__":
