@@ -21,6 +21,12 @@ def main():
     ap.add_argument("--version", type=int, default=2, choices=(1, 2),
                     help="2 (default): STOI-meaningful speech-shaped v2; "
                     "1: the round-1..3 corpus")
+    ap.add_argument("--hard-split", action="store_true",
+                    help="also generate <root>/test_hard/: the test recipe "
+                    "at a 10 dB lower SNR grid (-7.5..7.5) so STOI/pesq "
+                    "discriminate out of saturation")
+    ap.add_argument("--hard-only", action="store_true",
+                    help="generate ONLY the test_hard split (corpus exists)")
     ap.add_argument("--subset-first", type=int, default=0, metavar="N",
                     help="also create <root>/trainN/ symlinking the first N "
                     "sorted train files — the fixed head-to-head training "
@@ -28,12 +34,20 @@ def main():
                     "tools/train_reference_torch.py --n-train N)")
     args = ap.parse_args()
 
-    generate_corpus(os.path.join(args.root, "train"), args.n_train,
-                    seed=args.seed, split="train", version=args.version)
-    generate_corpus(os.path.join(args.root, "test"), args.n_test,
-                    seed=args.seed + 1, split="test", version=args.version)
-    print(f"corpus at {args.root}: {args.n_train} train / {args.n_test} test"
-          f" (v{args.version})")
+    if not args.hard_only:
+        generate_corpus(os.path.join(args.root, "train"), args.n_train,
+                        seed=args.seed, split="train", version=args.version)
+        generate_corpus(os.path.join(args.root, "test"), args.n_test,
+                        seed=args.seed + 1, split="test", version=args.version)
+        print(f"corpus at {args.root}: {args.n_train} train / "
+              f"{args.n_test} test (v{args.version})")
+    if args.hard_split or args.hard_only:
+        # seed+2 so hard utterances/noises are independent of both splits
+        generate_corpus(os.path.join(args.root, "test_hard"), args.n_test,
+                        seed=args.seed + 2, split="test_hard",
+                        version=args.version)
+        print(f"hard split at {args.root}/test_hard: {args.n_test} files "
+              f"(SNR grid -7.5..7.5 dB)")
 
     if args.subset_first:
         src = os.path.join(args.root, "train")
@@ -44,8 +58,15 @@ def main():
             os.makedirs(os.path.join(dst, side), exist_ok=True)
             for n in names:
                 p = os.path.join(dst, side, n)
-                if not os.path.exists(p):
-                    os.symlink(os.path.abspath(os.path.join(src, side, n)), p)
+                # lexists: a dangling symlink from an earlier corpus root
+                # must be replaced, not crash os.symlink
+                if os.path.lexists(p):
+                    os.unlink(p)
+                os.symlink(os.path.abspath(os.path.join(src, side, n)), p)
+            # drop stale extras if the subset shrank
+            for n in os.listdir(os.path.join(dst, side)):
+                if n.endswith(".wav") and n not in names:
+                    os.unlink(os.path.join(dst, side, n))
         print(f"subset at {dst}: first {len(names)} sorted train files")
 
 

@@ -29,7 +29,8 @@ def leg_stats(samples_dir):
             path = os.path.join(samples_dir, f"{side}_{m}.npy")
             if os.path.exists(path):
                 v = np.load(path)
-                out[f"{side}_{m}"] = (float(v.mean()), float(v.std()), len(v))
+                out[f"{side}_{m}"] = (float(v.mean()), float(v.std()), len(v),
+                                      v)
     return out
 
 
@@ -49,17 +50,22 @@ def main():
     n_ref = next(iter(ref.values()))[2]
     n_ours = next(iter(ours.values()))[2]
     print(f"| metric | noisy | {ns.label_ref} (n={n_ref}) "
-          f"| {ns.label_ours} (n={n_ours}) | delta |")
-    print("|---|---|---|---|---|")
+          f"| {ns.label_ours} (n={n_ours}) | delta | ours better |")
+    print("|---|---|---|---|---|---|")
     for m in METRICS:
         key_n, key_o = f"noisy_{m}", f"output_{m}"
         if key_o not in ref or key_o not in ours:
             continue
         noisy = ref.get(key_n, ours.get(key_n))[0]
         r, o = ref[key_o][0], ours[key_o][0]
-        fmt = (lambda x: f"{x:.2f}") if m == "sisnr" else (lambda x: f"{x:.3f}")
+        wins = "—"
+        if ref[key_o][2] == ours[key_o][2]:
+            # per-file paired comparison (same sorted test-file order)
+            vr, vo = ref[key_o][3], ours[key_o][3]
+            wins = f"{int((vo > vr).sum())}/{len(vr)}"
+        fmt = (lambda x: f"{x:.2f}") if m == "sisnr" else (lambda x: f"{x:.4f}")
         print(f"| {m} | {fmt(noisy)} | {fmt(r)} | {fmt(o)} "
-              f"| {'+' if o - r >= 0 else ''}{o - r:.2f} |")
+              f"| {'+' if o - r >= 0 else ''}{o - r:.3f} | {wins} |")
 
 
 if __name__ == "__main__":

@@ -6,11 +6,22 @@ set -u
 cd /root/repo
 mkdir -p logs saved
 
+# queue2 gates on this pid so the single chip is never contended
+echo $$ > /tmp/r4_queue.pid
+trap 'rm -f /tmp/r4_queue.pid' EXIT
+
 stage() {  # stage <name> <cmd...>
   local name=$1; shift
   echo "=== [$(date -u +%H:%M:%S)] stage $name: $*" >> logs/r4_queue.log
   "$@" > "logs/r4_${name}.log" 2>&1
   echo "=== [$(date -u +%H:%M:%S)] stage $name rc=$?" >> logs/r4_queue.log
+}
+
+
+require() {  # require <value> <stage-name> — skip loudly if run dir missing
+  [ -n "$1" ] && return 0
+  echo "=== [$(date -u +%H:%M:%S)] SKIP $2: run dir missing" >> logs/r4_queue.log
+  return 1
 }
 
 latest_run() {  # latest_run <saved-name>
@@ -21,17 +32,17 @@ latest_run() {  # latest_run <saved-name>
 #    torch reference leg).
 stage small_train python train.py -c configs/config_unet_synth_small_v2.json
 R=$(latest_run SDDM2_UNet_synth2_small)
-stage small_eval python tools/eval_flagship.py -r "${R}model_best.ckpt" \
+require "${R}" small_eval && stage small_eval python tools/eval_flagship.py -r "${R}model_best.ckpt" \
   --data data/synth2/test --out saved/our_eval --batch-rows 8
 
 # 2. Flagship v2: full-size recipe on corpus v2 (fills ROUND4_FLAGSHIP_TABLE).
 stage flagship_train python train.py -c configs/config_unet_synth_flagship_v2.json
 F=$(latest_run SDDM2_UNet_synth2_flagship)
-stage flagship_eval python tools/eval_flagship.py -r "${F}model_best.ckpt" \
+require "${F}" flagship_eval && stage flagship_eval python tools/eval_flagship.py -r "${F}model_best.ckpt" \
   --data data/synth2/test --out saved/flagship_v2_eval --batch-rows 8
-stage flagship_eval_s12 python tools/eval_flagship.py -r "${F}model_best.ckpt" \
+require "${F}" flagship_eval_s12 && stage flagship_eval_s12 python tools/eval_flagship.py -r "${F}model_best.ckpt" \
   --data data/synth2/test --out saved/flagship_v2_eval_s12 --steps 12 --batch-rows 8
-stage flagship_eval_ddim6 python tools/eval_flagship.py -r "${F}model_best.ckpt" \
+require "${F}" flagship_eval_ddim6 && stage flagship_eval_ddim6 python tools/eval_flagship.py -r "${F}model_best.ckpt" \
   --data data/synth2/test --out saved/flagship_v2_eval_ddim6 --ddim 6 --batch-rows 8
 
 # 3. Vocoder family: spectrogram prep + DiffWave training on corpus v2.
