@@ -3,19 +3,20 @@
 per chip on the flagship recipe (UNetModified2, T=100, 16448-sample chunks —
 config_unet.json / BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
 RTF = seconds of audio enhanced per wall-clock second for the FULL T-step
 sampler.  The reference publishes no RTF; the driver's north star is >=10x
 the reference's real-time factor per chip.  We report vs_baseline against
 real-time (RTF 1.0) so the number is self-grounding: value is how many times
 faster than real time one chip enhances audio.
 
-A second JSON line reports ``train_step_ms`` — the PRODUCTION train step
+The FINAL stdout line is ONE combined JSON object — headline metric
+``reverse_sampler_rtf_per_chip`` plus ``train_step_ms`` /
+``train_step_vs_baseline`` fields for the PRODUCTION train step
 (sddm_tpu.train.trainer.make_train_step: q-sample + forward + L1 + Adam
 update, donated state) at the flagship recipe's batch 16, vs_baseline
-against the round-1..3 plain-engine 29.1 ms (PERFORMANCE.md).
-``--skip-train`` omits it; the headline RTF line always prints first.
+against the round-1..3 plain-engine 29.1 ms (PERFORMANCE.md).  The driver
+records the last JSON line, so both metrics stay round-over-round
+comparable in BENCH_r*.json.  ``--skip-train`` omits the train fields.
 """
 
 import json
@@ -147,22 +148,19 @@ def main():
     steps_per_sec = n_iters * steps_run / elapsed
     sampler = f"ddim{ns.ddim}" if ns.ddim else f"T={T_STEPS}"
 
-    print(
-        json.dumps(
-            {
-                "metric": "reverse_sampler_rtf_per_chip",
-                "value": round(rtf, 3),
-                "unit": f"x_realtime ({sampler}, batch={BATCH}, "
-                f"engine={engine_used}; "
-                f"{steps_per_sec:.1f} reverse steps/s)",
-                "vs_baseline": round(rtf, 3),
-            }
-        ),
-        flush=True,
-    )
-
+    record = {
+        "metric": "reverse_sampler_rtf_per_chip",
+        "value": round(rtf, 3),
+        "unit": f"x_realtime ({sampler}, batch={BATCH}, "
+        f"engine={engine_used}; "
+        f"{steps_per_sec:.1f} reverse steps/s)",
+        "vs_baseline": round(rtf, 3),
+    }
     if not ns.skip_train:
-        bench_train_step(sched, net, key)
+        record.update(bench_train_step(sched, net, key))
+    # the combined object is the LAST line: the driver's last-line parse
+    # captures BOTH metrics (round-4 verdict weak-6)
+    print(json.dumps(record), flush=True)
 
 
 def bench_train_step(sched, net, key):
@@ -198,18 +196,12 @@ def bench_train_step(sched, net, key):
     ms = (time.perf_counter() - start) / n_iters * 1e3
 
     baseline_ms = 29.1  # round-1..3 plain-engine step (PERFORMANCE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_ms",
-                "value": round(ms, 2),
-                "unit": f"ms/step (batch={train_batch}, plain engine, "
-                f"{train_batch * 1e3 / ms:.0f} crops/s; lower is better)",
-                "vs_baseline": round(baseline_ms / ms, 3),
-            }
-        ),
-        flush=True,
-    )
+    return {
+        "train_step_ms": round(ms, 2),
+        "train_step_unit": f"ms/step (batch={train_batch}, plain engine, "
+        f"{train_batch * 1e3 / ms:.0f} crops/s; lower is better)",
+        "train_step_vs_baseline": round(baseline_ms / ms, 3),
+    }
 
 
 if __name__ == "__main__":
