@@ -36,7 +36,9 @@ T_STEPS = 100
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--engine", choices=("packed", "base"), default="packed")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 8 (sampler) / 16 (--train, the "
+                    "production config_unet.json batch)")
     ap.add_argument("--peak", type=float, default=197e12,
                     help="chip peak FLOP/s for the %%-of-peak figure "
                     "(default: v5e bf16)")
@@ -45,6 +47,8 @@ def main():
                     "(make_train_step at the flagship batch 16, plain "
                     "engine) instead of the sampler — VERDICT r3 item 4a")
     ns = ap.parse_args()
+    if ns.batch is None:
+        ns.batch = 16 if ns.train else 8
 
     sched = DiffusionSchedule.create("linear", T_STEPS, 1e-6, 1e-3)
     net = UNetModified2(

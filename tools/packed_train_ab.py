@@ -116,8 +116,13 @@ def main():
                     "configuration; default off = the round-3 NaN config)")
     ns = ap.parse_args()
 
+    # v2 config: data/synth (v1) is not regenerated on this VM; corpus v2
+    # is the standard quality corpus.  make_dirs=False — this is a probe,
+    # not a training run; don't pollute saved/<name>/ (the queue resolves
+    # checkpoints by newest run dir).
     cfg = ConfigParser(
-        json.load(open("configs/config_unet_synth_flagship.json")))
+        json.load(open("configs/config_unet_synth_flagship_v2.json")),
+        make_dirs=False)
     ds = build_dataset(cfg, "tr_dataset", sample_rate=cfg["sample_rate"],
                        T=cfg["num_samples"])
     dl = build_data_loader(cfg, "data_loader", ds)
