@@ -48,15 +48,15 @@ from sddm_tpu.utils import ConfigParser
 NS = 16448
 
 
-def run_leg(impl, n_steps, donate, dl, cfg):
-    os.environ["SDDM_PACK_IMPL"] = impl
+def run_leg(impl, n_steps, donate, dl, cfg, time_steps=0):
+    os.environ["SDDM_PACK_IMPL"] = impl if impl != "plain" else "gather"
     net = UNetModified2(num_samples=NS, inner_channel=32, norm_groups=32,
                         channel_mults=(1, 2, 3, 4, 5), res_blocks=1,
                         segment_len=128, segment_stride=64,
                         dtype=jnp.bfloat16)
     sched = DiffusionSchedule.create("linear", 100, 1e-6, 1e-3)
-    model = SDDM(sched, PackedTrainUNetModified2(net),
-                 p_transition="condition_in")
+    engine = net if impl == "plain" else PackedTrainUNetModified2(net)
+    model = SDDM(sched, engine, p_transition="condition_in")
     params = model.init(jax.random.PRNGKey(0), (16, 1, NS))
     tx = make_optimizer(dict(cfg["optimizer"]))
     mesh = make_mesh()
@@ -100,20 +100,49 @@ def run_leg(impl, n_steps, donate, dl, cfg):
                 i = n_steps  # one confirming step after the first NaN
                 break
             i += 1
-    return {"impl": impl, "donate": donate, "steps": len(losses),
-            "first_nonfinite_step": first_bad,
-            "final_loss": losses[-1] if losses else None,
-            "all_finite": first_bad is None}
+    out = {"impl": impl, "donate": donate, "steps": len(losses),
+           "first_nonfinite_step": first_bad,
+           "final_loss": losses[-1] if losses else None,
+           "all_finite": first_bad is None}
+
+    if time_steps and first_bad is None:
+        # Steady-state step time on a FIXED resident batch (loader and
+        # host->device excluded — comparable to bench.py's train metric).
+        import time
+        for t, c, _ in dl:
+            batch = shard_batch(
+                (jnp.asarray(np.asarray(t)), jnp.asarray(np.asarray(c))),
+                mesh)
+            break
+        key2 = jax.random.PRNGKey(1)
+        for _ in range(3):  # warm
+            key2, k = jax.random.split(key2)
+            state, loss = jstep(state, k, *batch)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(time_steps):
+            key2, k = jax.random.split(key2)
+            state, loss = jstep(state, k, *batch)
+        jax.block_until_ready(loss)
+        out["time_ms_per_step"] = (
+            (time.perf_counter() - t0) / time_steps * 1e3)
+        print(f"[{impl}] {out['time_ms_per_step']:.2f} ms/step "
+              f"(donate={donate})", flush=True)
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--impl", default="both",
-                    choices=("gather", "blocks", "both"))
+                    choices=("gather", "blocks", "plain", "both", "all"))
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--donate", action="store_true",
                     help="donate the train state (the original trigger "
                     "configuration; default off = the round-3 NaN config)")
+    ap.add_argument("--time", type=int, default=0, metavar="N",
+                    help="after the finiteness check, time N steady-state "
+                    "steps on a fixed resident batch (packed-vs-plain "
+                    "train-step speed A/B)")
     ns = ap.parse_args()
 
     # v2 config: data/synth (v1) is not regenerated on this VM; corpus v2
@@ -127,8 +156,10 @@ def main():
                        T=cfg["num_samples"])
     dl = build_data_loader(cfg, "data_loader", ds)
 
-    impls = ("gather", "blocks") if ns.impl == "both" else (ns.impl,)
-    results = [run_leg(i, ns.steps, ns.donate, dl, cfg) for i in impls]
+    impls = {"both": ("gather", "blocks"),
+             "all": ("plain", "gather", "blocks")}.get(ns.impl, (ns.impl,))
+    results = [run_leg(i, ns.steps, ns.donate, dl, cfg, time_steps=ns.time)
+               for i in impls]
     print(json.dumps(results))
 
 
