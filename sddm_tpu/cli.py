@@ -128,14 +128,19 @@ def build_network(config, role="infer", **kwargs):
             )
         if getattr(net, "dropout", 0):
             raise ValueError("packed training requires dropout=0")
-        if role == "train":
+        if role == "train" and os.environ.get("SDDM_PACKED_TRAIN") != "1":
             import logging
 
             logging.getLogger("cli").warning(
-                "packed TRAINING is disabled on this runtime (axon PJRT "
-                "NaN, artifacts/nan_repro/); training the plain network — "
-                "checkpoints remain packed-infer compatible"
+                "packed TRAINING defaults to the plain network (a historical "
+                "axon PJRT NaN, artifacts/nan_repro/; the round-5 on-chip A/B "
+                "found it no longer reproduces — tools/packed_train_ab.py). "
+                "Set SDDM_PACKED_TRAIN=1 to opt in; checkpoints remain "
+                "packed-infer compatible either way"
             )
+            return net
+        if role == "train" and net_cfg["type"] == "DiffWave":
+            # the fused Pallas stack is inference-only; train plain
             return net
         if net_cfg["type"] == "DiffWave":
             # fused Pallas residual-stack engine (inference only; same

@@ -233,6 +233,28 @@ class TestCliWiring:
         net = build_network(cfg, num_samples=NS)
         assert isinstance(net, PackedTrainUNetModified2)
 
+    def test_train_role_defaults_plain_and_env_opts_in(self, monkeypatch):
+        # Historical axon NaN -> training defaults to the plain network;
+        # the round-5 on-chip A/B (both impls finite) justifies an explicit
+        # opt-in via SDDM_PACKED_TRAIN=1 (cli.py).
+        from sddm_tpu.cli import build_network
+        from sddm_tpu.models import UNetModified2
+
+        cfg = {
+            "network": {"type": "UNetModified2",
+                        "args": {"inner_channel": 8, "norm_groups": 4,
+                                 "channel_mults": [1, 2], "res_blocks": 1,
+                                 "dropout": 0, "segment_len": 16,
+                                 "segment_stride": 8}},
+            "packed": True,
+        }
+        monkeypatch.delenv("SDDM_PACKED_TRAIN", raising=False)
+        net = build_network(cfg, role="train", num_samples=NS)
+        assert isinstance(net, UNetModified2)
+        monkeypatch.setenv("SDDM_PACKED_TRAIN", "1")
+        net = build_network(cfg, role="train", num_samples=NS)
+        assert isinstance(net, PackedTrainUNetModified2)
+
     def test_packed_flag_rejects_dropout(self):
         from sddm_tpu.cli import build_network
 
