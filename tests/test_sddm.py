@@ -146,3 +146,19 @@ class TestLossesMetrics:
         s_hat = jnp.asarray(rng.randn(3, 1, 4, 32))
         out = segment_sisnr(s_hat, s)
         assert out.shape == (3, 4)
+
+    def test_segment_sisnr_finite_on_degenerate_segments(self):
+        # Round-5 chip run: corpus v2's inter-syllable digital-silence
+        # segments gave sum(clean^2)=0 -> NaN labels -> the SNR estimator
+        # trained on NaN from step one.  The reference formula
+        # (model/segmentor.py:7-33) has the same hole; ours is guarded.
+        rng = np.random.RandomState(3)
+        s = rng.randn(2, 1, 4, 32).astype(np.float32)
+        s_hat = rng.randn(2, 1, 4, 32).astype(np.float32)
+        s[0, 0, 1] = 0.0            # silent clean segment, noisy condition
+        s_hat[1, 0, 2] = s[1, 0, 2]  # noise-free segment (e_noise == 0)
+        out = np.asarray(segment_sisnr(jnp.asarray(s_hat), jnp.asarray(s)))
+        assert np.isfinite(out).all()
+        assert out[0, 1] < -40      # "all noise" label
+        assert out[1, 2] > 40       # "no noise" label
+        assert np.abs(out).max() < 120  # labels stay in a sane dB range
