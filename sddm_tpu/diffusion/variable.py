@@ -42,8 +42,16 @@ def variable_tables(
     Parity: ``VariableGaussianDiffusion.get_beta_schedule``
     (model/diffusion.py:343-356), fully vectorized.
     """
-    # [B, N] per-segment ramp endpoint
+    # [B, N] per-segment ramp endpoint.  Clamped to a valid beta range:
+    # the reference formula (model/diffusion.py:349) sends any estimated
+    # segment SNR below -20*log10(scale) (= -40 dB at scale 100) to
+    # linear_end > 1, making 1-beta negative and sqrt(cumprod) NaN —
+    # unobserved on VoiceBank, immediate on corpora with silent/pure-noise
+    # segments.  A <= -40 dB segment clamps to the maximal valid schedule
+    # (beta 0.999), which is the design intent: all-noise segments get the
+    # most aggressive noising.
     linear_end = (10.0 ** (snr_estimate / -20.0) / snr_estimate_scale) ** 2
+    linear_end = jnp.clip(linear_end, linear_start, 0.999)
     # linspace(start, end, T) ramp along a new trailing axis: [B, N, T]
     ramp = jnp.linspace(0.0, 1.0, n_timestep, dtype=snr_estimate.dtype)
     betas_steps = linear_start + ramp[None, None, :] * (

@@ -142,6 +142,23 @@ class TestVariable:
             np.asarray(v.alpha_bar), np.cumprod(1 - b, axis=-1), rtol=1e-5
         )
 
+    def test_tables_finite_at_extreme_snr(self):
+        # Round-5 chip run: the trained estimator correctly predicts
+        # <= -40 dB on silent/pure-noise segments; the unclamped reference
+        # formula (model/diffusion.py:349) then yields beta > 1 and
+        # sqrt(cumprod(1-beta)) NaN — the joint leg trained on NaN from
+        # step one.  The endpoint is now clamped to beta <= 0.999.
+        snr = jnp.asarray([[-96.0, -40.1, 33.0, 0.0]])
+        v = var.variable_tables(snr, n_timestep=10, snr_estimate_scale=100.0)
+        b = np.asarray(v.betas)
+        ab = np.asarray(v.alpha_bar)
+        assert np.isfinite(b).all() and np.isfinite(ab).all()
+        assert np.isfinite(np.asarray(v.sqrt_alpha_bar)).all()
+        assert (b <= 0.999).all() and (b >= 0.0).all()
+        assert (ab > 0.0).all() and (ab <= 1.0).all()
+        # the -96 dB segment saturates at the maximal schedule
+        np.testing.assert_allclose(b[0, 0, 0, -1], 0.999, rtol=1e-6)
+
     def test_variable_q_and_p(self):
         snr = jnp.zeros((2, 4))
         v = var.variable_tables(snr, n_timestep=10)
