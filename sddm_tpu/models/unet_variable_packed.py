@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..ops.packed import d2s, s2d
 from . import unet_packed as _up
 from .unet_packed import _GN, _HostKit, _TracedKit, _packed_gn_plan, _conv
+from .unet_packed import select_traced_kit
 from .unet_packed import _offset_mask_np, _sections_perm
 
 
@@ -76,7 +77,7 @@ class PackedUNetVariable:
         return self._pack_with(_HostKit, params)
 
     def pack_traced(self, params) -> Dict:
-        return self._pack_with(_TracedKit, params)
+        return self._pack_with(select_traced_kit(), params)
 
     def _pack_with(self, kit, params) -> Dict:
         p = params["params"] if "params" in params else params
